@@ -1,0 +1,168 @@
+"""Sampling + FID evaluation CLI — the reference test_ddgan.py.
+
+Protocol parity (test_ddgan.py:128-250):
+  * recover training args from the experiment's saved content (ours:
+    content_args.json; torch: content.pth via compat), overridden by CLI;
+  * load netG_{epoch_id} (ours .ckpt msgpack, or reference .pth with
+    `module.` stripping via the compat importer);
+  * batched generation of num_fid_samples with the T-step lax.scan
+    sampler, fresh z per step; PNGs (+ optional NPY) to
+    generated_samples/{dataset};
+  * optional FID vs real_img_dir written to fid_output_path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DDGAN Testing Parameters")
+    p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--normalize", default=False)
+    p.add_argument("--compute_fid", action="store_true")
+    p.add_argument("--epoch_id", type=int, default=109)
+    p.add_argument("--real_img_dir", default="./real_images")
+    p.add_argument("--fid_output_path", default="./fid_score.txt")
+    p.add_argument("--dataset", default="luna16")
+    p.add_argument("--exp", default="exp1")
+    p.add_argument("--num_fid_samples", type=int, default=5000)
+    p.add_argument("--save_npy", action="store_true")
+    p.add_argument("--generated_samples_dir", type=str, default=".")
+    p.add_argument("--batch_size", type=int, default=None)
+    return p
+
+
+def sample_and_test(args):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..config import Config
+    from ..diffusion import PosteriorCoefficients, sample_from_model
+    from ..models import NCSNpp
+    from ..train import checkpoint as ckpt
+    from ..utils import save_image, to_range_0_1
+
+    exp_path = Path(f"./saved_info/dd_gan/{args.dataset}/{args.exp}")
+
+    # ---- recover training args (ours, or a torch content.pth)
+    if (exp_path / "content_args.json").exists():
+        saved = ckpt.load_content_args(exp_path)
+    elif (exp_path / "content.pth").exists():
+        from ..compat import load_torch_content
+
+        saved = dict(load_torch_content(str(exp_path / "content.pth"))["args"])
+    else:
+        raise FileNotFoundError(f"No training content found under {exp_path}")
+    saved.update({k: v for k, v in vars(args).items() if v is not None})
+    cfg = Config.from_dict(saved)
+
+    gen = NCSNpp.from_config(cfg)
+    key = jax.random.PRNGKey(int(args.seed))
+    kinit, key = jax.random.split(key)
+    template = gen.init(
+        {"params": kinit, "dropout": kinit},
+        jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.num_channels)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, cfg.nz)),
+    )
+
+    # ---- load generator weights (ours or torch)
+    our_path = exp_path / f"netG_{args.epoch_id}.ckpt"
+    torch_path = exp_path / f"netG_{args.epoch_id}.pth"
+    if our_path.exists():
+        payload = ckpt.load_netg(our_path)
+        params, buffers = payload["params"], payload.get("buffers", {})
+    elif torch_path.exists():
+        from ..compat import load_torch_netg
+
+        params, buffers = load_torch_netg(
+            str(torch_path), template["params"], template.get("buffers")
+        )
+    else:
+        raise FileNotFoundError(f"Checkpoint netG_{args.epoch_id} not found in {exp_path}")
+
+    variables = {"params": params}
+    if buffers:
+        variables["buffers"] = buffers
+
+    pos_coeff = PosteriorCoefficients.create(
+        cfg.num_timesteps, cfg.beta_min, cfg.beta_max, cfg.use_geometric
+    )
+
+    @partial(jax.jit, static_argnums=())
+    def generator(x, t, z):
+        return gen.apply(variables, x, t, z, train=False)
+
+    batch_size = int(args.batch_size or cfg.batch_size)
+
+    def generate(n, key):
+        key, kx, ks = jax.random.split(key, 3)
+        x_init = jax.random.normal(
+            kx, (n, cfg.image_size, cfg.image_size, cfg.num_channels)
+        )
+        out = sample_from_model(
+            pos_coeff, generator, cfg.num_timesteps, x_init, ks, cfg.nz
+        )
+        return np.asarray(to_range_0_1(out)), key
+
+    save_dir = Path(args.generated_samples_dir) / "generated_samples" / str(args.dataset)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.compute_fid:
+        if not os.path.exists(args.real_img_dir):
+            raise FileNotFoundError(f"Real image directory {args.real_img_dir} not found.")
+        total = int(args.num_fid_samples)
+        iters_needed = (total + batch_size - 1) // batch_size
+        index = 0
+        for i in range(iters_needed):
+            n = min(batch_size, total - i * batch_size)
+            fake, key = generate(batch_size, key)
+            fake = fake[:n]
+            for x in fake:
+                if args.save_npy:
+                    np.save(save_dir / f"{index}.npy", x.transpose(2, 0, 1))
+                save_image(x, save_dir / f"{index}.png", normalize=bool(args.normalize))
+                index += 1
+            if (i + 1) % max(1, iters_needed // 2) == 0:
+                print(f"Generated {index}/{total} samples for {args.exp}")
+
+        from ..eval import calculate_fid_given_paths
+
+        fid = calculate_fid_given_paths([str(save_dir), args.real_img_dir],
+                                        batch_size=50, dims=2048)
+        print(f"FID = {fid}")
+        if args.fid_output_path:
+            out_dir = os.path.dirname(args.fid_output_path)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+            with open(args.fid_output_path, "w") as f:
+                f.write(f"{fid}\n")
+            print(f"FID score saved to {args.fid_output_path}")
+        return fid
+    else:
+        fake, key = generate(batch_size, key)
+        if args.save_npy:
+            np.save("file.npy", fake.transpose(0, 3, 1, 2))
+            print("file.npy")
+        else:
+            for i, x in enumerate(fake):
+                save_image(
+                    x, save_dir / f"sample_{i}.png", normalize=bool(args.normalize)
+                )
+            print(f"Sample images saved to {save_dir}")
+        return None
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return sample_and_test(args)
+
+
+if __name__ == "__main__":
+    main()

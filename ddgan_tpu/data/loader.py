@@ -1,0 +1,150 @@
+"""Batch loader: sharded shuffling sampler + background prefetch.
+
+Replaces torch DataLoader + DistributedSampler (ddgan.py:242-269). Each
+host sees a deterministic per-epoch shard of the global index permutation
+(`set_epoch` analog is the `epoch` argument to `__iter__`); batches are
+stacked float32 NHWC numpy arrays ready for `jax.device_put` onto the
+mesh. Prefetching runs on worker threads (the dataset __getitem__ is
+IO/PIL-bound, which releases the GIL).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class SyntheticDataset:
+    """Deterministic random images for tests/benchmarks (no files needed)."""
+
+    def __init__(self, n: int = 256, image_size: int = 32, num_channels: int = 3, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.data = rng.uniform(-1, 1, (n, image_size, image_size, num_channels)).astype(
+            np.float32
+        )
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return self.data[i], 1
+
+
+def _to_array(x) -> np.ndarray:
+    arr = np.asarray(x, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+class DataLoader:
+    """Iterate (images, labels) batches: images float32 (B, H, W, C).
+
+    Args:
+      dataset: __len__/__getitem__ -> (image, label).
+      batch_size: per-host batch (global batch = batch_size * num_hosts
+        when sharding; on a single host it is the global batch).
+      shuffle: new permutation per epoch, seeded by (seed, epoch).
+      drop_last: drop trailing partial batch (reference always does,
+        ddgan.py:252,:261).
+      num_shards/shard_id: host-level sharding (process_count/index).
+      num_workers: prefetch threads; 0 = synchronous.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        num_workers: int = 0,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """DistributedSampler.set_epoch analog (ddgan.py:430-431)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        # pad so every shard sees the same count (DistributedSampler semantics)
+        per_shard = -(-n // self.num_shards)
+        if self.num_shards > 1:
+            padded = np.concatenate([order, order[: per_shard * self.num_shards - n]])
+            order = padded[self.shard_id :: self.num_shards]
+        return order
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batch(self, idx_chunk) -> tuple[np.ndarray, np.ndarray]:
+        imgs, labels = [], []
+        for i in idx_chunk:
+            item = self.dataset[int(i)]
+            if isinstance(item, tuple):
+                img, label = item[0], item[1]
+            else:
+                img, label = item, 0
+            imgs.append(_to_array(img))
+            if isinstance(label, (int, float, np.integer, np.floating)):
+                labels.append(label)
+            else:
+                labels.append(0)
+        return np.stack(imgs), np.asarray(labels)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        order = self._indices()
+        nb = len(self)
+        chunks = [
+            order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+        ]
+
+        if self.num_workers <= 0:
+            for ch in chunks:
+                yield self._make_batch(ch)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for ch in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(ch))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,438 @@
+"""NCSN++ z-conditioned generator (Flax, NHWC).
+
+Predicts x0 from (x_{t+1}, t, z). Reference semantics:
+score_sde/models/ncsnpp_generator_adagn.py (construction :63-277, forward
+:280-431). The reference builds a flat nn.ModuleList and walks it with a
+moving index; here the SAME construction control flow produces a flat list
+of named Flax submodules (`all_modules_{i}`), so the torch checkpoint key
+`all_modules.{i}.*` maps mechanically onto `all_modules_{i}/*` for the
+compat importer, while the forward remains a pure traced function.
+
+Supports every configuration the reference does: resblock_type
+{ddpm, biggan, biggan_oneadagn}, progressive / progressive_input
+{none, output_skip/input_skip, residual}, embedding {positional, fourier},
+FIR or naive resampling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .. import nn as dnn
+from ..nn.layers import Dense, Conv3x3, default_init, get_timestep_embedding
+from .registry import register_model
+
+
+@register_model(name="ncsnpp")
+class NCSNpp(nn.Module):
+    """NCSN++ generator. Construct via `NCSNpp.from_config(cfg)`."""
+
+    nf: int = 128  # num_channels_dae
+    ch_mult: Sequence[int] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.1
+    resamp_with_conv: bool = True
+    image_size: int = 32
+    conditional: bool = True
+    fir: bool = True
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    resblock_type: str = "biggan"
+    progressive: str = "none"
+    progressive_input: str = "residual"
+    progressive_combine: str = "sum"
+    embedding_type: str = "positional"
+    fourier_scale: float = 16.0
+    not_use_tanh: bool = False
+    num_channels: int = 3  # image channels
+    nz: int = 100
+    z_emb_dim: int = 256
+    n_mlp: int = 3
+    centered: bool = True
+
+    @classmethod
+    def from_config(cls, config: Any) -> "NCSNpp":
+        return cls(
+            nf=config.num_channels_dae,
+            ch_mult=tuple(config.ch_mult),
+            num_res_blocks=config.num_res_blocks,
+            attn_resolutions=tuple(config.attn_resolutions),
+            dropout=config.dropout,
+            resamp_with_conv=config.resamp_with_conv,
+            image_size=config.image_size,
+            conditional=config.conditional,
+            fir=config.fir,
+            fir_kernel=tuple(config.fir_kernel),
+            skip_rescale=config.skip_rescale,
+            resblock_type=config.resblock_type.lower(),
+            progressive=config.progressive.lower(),
+            progressive_input=config.progressive_input.lower(),
+            progressive_combine=config.progressive_combine.lower(),
+            embedding_type=config.embedding_type.lower(),
+            fourier_scale=config.fourier_scale,
+            not_use_tanh=config.not_use_tanh,
+            num_channels=config.num_channels,
+            nz=config.nz,
+            z_emb_dim=config.z_emb_dim,
+            n_mlp=config.n_mlp,
+            centered=config.centered,
+        )
+
+    def setup(self):
+        assert self.progressive in ["none", "output_skip", "residual"]
+        assert self.progressive_input in ["none", "input_skip", "residual"]
+        assert self.embedding_type in ["fourier", "positional"]
+
+        act = jax.nn.silu
+        nf = self.nf
+        num_resolutions = len(self.ch_mult)
+        all_resolutions = [
+            self.image_size // (2**i) for i in range(num_resolutions)
+        ]
+        self._all_resolutions = all_resolutions
+        init_scale = 0.0
+        combiner = functools.partial(dnn.Combine, method=self.progressive_combine)
+
+        modules = []
+        # timestep embedding (construction order matches reference :96-117)
+        if self.embedding_type == "fourier":
+            modules.append(
+                dnn.GaussianFourierProjection(
+                    embedding_size=nf, scale=self.fourier_scale
+                )
+            )
+
+        if self.conditional:
+            # nn.Linear with default_init weights, zero bias (:112-117)
+            modules.append(
+                nn.Dense(nf * 4, kernel_init=default_init(), bias_init=nn.initializers.zeros)
+            )
+            modules.append(
+                nn.Dense(nf * 4, kernel_init=default_init(), bias_init=nn.initializers.zeros)
+            )
+
+        AttnBlock = functools.partial(
+            dnn.AttnBlockpp, init_scale=init_scale, skip_rescale=self.skip_rescale
+        )
+        Upsample = functools.partial(
+            dnn.Upsample,
+            with_conv=self.resamp_with_conv,
+            fir=self.fir,
+            fir_kernel=self.fir_kernel,
+        )
+        Downsample = functools.partial(
+            dnn.Downsample,
+            with_conv=self.resamp_with_conv,
+            fir=self.fir,
+            fir_kernel=self.fir_kernel,
+        )
+
+        if self.progressive == "output_skip":
+            self.pyramid_upsample = dnn.Upsample(
+                fir=self.fir, fir_kernel=self.fir_kernel, with_conv=False
+            )
+        elif self.progressive == "residual":
+            pyramid_upsample = functools.partial(
+                dnn.Upsample, fir=self.fir, fir_kernel=self.fir_kernel, with_conv=True
+            )
+        if self.progressive_input == "input_skip":
+            self.pyramid_downsample = dnn.Downsample(
+                fir=self.fir, fir_kernel=self.fir_kernel, with_conv=False
+            )
+        elif self.progressive_input == "residual":
+            pyramid_downsample = functools.partial(
+                dnn.Downsample, fir=self.fir, fir_kernel=self.fir_kernel, with_conv=True
+            )
+
+        if self.resblock_type == "ddpm":
+            ResnetBlock = functools.partial(
+                dnn.ResnetBlockDDPMppAdagn,
+                act=act,
+                dropout=self.dropout,
+                init_scale=init_scale,
+                skip_rescale=self.skip_rescale,
+            )
+        elif self.resblock_type == "biggan":
+            ResnetBlock = functools.partial(
+                dnn.ResnetBlockBigGANppAdagn,
+                act=act,
+                dropout=self.dropout,
+                fir=self.fir,
+                fir_kernel=self.fir_kernel,
+                init_scale=init_scale,
+                skip_rescale=self.skip_rescale,
+            )
+        elif self.resblock_type == "biggan_oneadagn":
+            ResnetBlock = functools.partial(
+                dnn.ResnetBlockBigGANppAdagnOne,
+                act=act,
+                dropout=self.dropout,
+                fir=self.fir,
+                fir_kernel=self.fir_kernel,
+                init_scale=init_scale,
+                skip_rescale=self.skip_rescale,
+            )
+        else:
+            raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
+
+        # Downsampling block (:174-210)
+        channels = self.num_channels
+        if self.progressive_input != "none":
+            input_pyramid_ch = channels
+
+        modules.append(Conv3x3(nf))
+        hs_c = [nf]
+        in_ch = nf
+        for i_level in range(num_resolutions):
+            for i_block in range(self.num_res_blocks):
+                out_ch = nf * self.ch_mult[i_level]
+                modules.append(ResnetBlock(out_ch=out_ch))
+                in_ch = out_ch
+                if all_resolutions[i_level] in self.attn_resolutions:
+                    modules.append(AttnBlock())
+                hs_c.append(in_ch)
+
+            if i_level != num_resolutions - 1:
+                if self.resblock_type == "ddpm":
+                    modules.append(Downsample(features=in_ch))
+                else:
+                    modules.append(ResnetBlock(down=True))
+
+                if self.progressive_input == "input_skip":
+                    modules.append(combiner(features=in_ch))
+                    if self.progressive_combine == "cat":
+                        in_ch *= 2
+                elif self.progressive_input == "residual":
+                    modules.append(pyramid_downsample(features=in_ch))
+                    input_pyramid_ch = in_ch
+                hs_c.append(in_ch)
+
+        # middle (:212-215)
+        in_ch = hs_c[-1]
+        modules.append(ResnetBlock())
+        modules.append(AttnBlock())
+        modules.append(ResnetBlock())
+
+        pyramid_ch = 0
+        # Upsampling block (:217-261)
+        for i_level in reversed(range(num_resolutions)):
+            for i_block in range(self.num_res_blocks + 1):
+                out_ch = nf * self.ch_mult[i_level]
+                hs_c.pop()
+                modules.append(ResnetBlock(out_ch=out_ch))
+                in_ch = out_ch
+
+            if all_resolutions[i_level] in self.attn_resolutions:
+                modules.append(AttnBlock())
+
+            if self.progressive != "none":
+                if i_level == num_resolutions - 1:
+                    if self.progressive == "output_skip":
+                        modules.append(
+                            nn.GroupNorm(
+                                num_groups=min(in_ch // 4, 32), epsilon=1e-6
+                            )
+                        )
+                        modules.append(Conv3x3(channels, init_scale=init_scale))
+                        pyramid_ch = channels
+                    elif self.progressive == "residual":
+                        modules.append(
+                            nn.GroupNorm(
+                                num_groups=min(in_ch // 4, 32), epsilon=1e-6
+                            )
+                        )
+                        modules.append(Conv3x3(in_ch, use_bias=True))
+                        pyramid_ch = in_ch
+                else:
+                    if self.progressive == "output_skip":
+                        modules.append(
+                            nn.GroupNorm(
+                                num_groups=min(in_ch // 4, 32), epsilon=1e-6
+                            )
+                        )
+                        modules.append(
+                            Conv3x3(channels, use_bias=True, init_scale=init_scale)
+                        )
+                        pyramid_ch = channels
+                    elif self.progressive == "residual":
+                        modules.append(pyramid_upsample(features=in_ch))
+                        pyramid_ch = in_ch
+
+            if i_level != 0:
+                if self.resblock_type == "ddpm":
+                    modules.append(Upsample(features=in_ch))
+                else:
+                    modules.append(ResnetBlock(up=True))
+
+        assert not hs_c
+
+        if self.progressive != "output_skip":
+            modules.append(
+                nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6)
+            )
+            modules.append(Conv3x3(channels, init_scale=init_scale))
+
+        self.all_modules = modules
+
+        # latent mapping network (:271-277): PixelNorm, dense, act, n_mlp x (dense, act)
+        self.pixel_norm = dnn.PixelNorm()
+        self.z_transform_layers = [
+            Dense(self.z_emb_dim) for _ in range(1 + self.n_mlp)
+        ]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        time_cond: jnp.ndarray,
+        z: jnp.ndarray,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        act = jax.nn.silu
+
+        # latent mapping
+        zemb = self.pixel_norm(z)
+        for layer in self.z_transform_layers:
+            zemb = act(layer(zemb))
+
+        modules = self.all_modules
+        m_idx = 0
+
+        if self.embedding_type == "fourier":
+            temb = modules[m_idx](jnp.log(time_cond))
+            m_idx += 1
+        else:  # positional
+            temb = get_timestep_embedding(time_cond, self.nf)
+
+        if self.conditional:
+            temb = modules[m_idx](temb)
+            m_idx += 1
+            temb = modules[m_idx](act(temb))
+            m_idx += 1
+        else:
+            temb = None
+
+        if not self.centered:
+            x = 2 * x - 1.0  # input in [0, 1]
+
+        # Downsampling
+        input_pyramid = None
+        if self.progressive_input != "none":
+            input_pyramid = x
+
+        hs = [modules[m_idx](x)]
+        m_idx += 1
+        num_resolutions = len(self.ch_mult)
+        for i_level in range(num_resolutions):
+            for i_block in range(self.num_res_blocks):
+                h = modules[m_idx](hs[-1], temb, zemb, train=train)
+                m_idx += 1
+                # resolution test: W axis (reference NCHW shape[-1] == W)
+                if h.shape[2] in self.attn_resolutions:
+                    h = modules[m_idx](h)
+                    m_idx += 1
+                hs.append(h)
+
+            if i_level != num_resolutions - 1:
+                if self.resblock_type == "ddpm":
+                    h = modules[m_idx](hs[-1])
+                    m_idx += 1
+                else:
+                    h = modules[m_idx](hs[-1], temb, zemb, train=train)
+                    m_idx += 1
+
+                if self.progressive_input == "input_skip":
+                    input_pyramid = self.pyramid_downsample(input_pyramid)
+                    h = modules[m_idx](input_pyramid, h)
+                    m_idx += 1
+                elif self.progressive_input == "residual":
+                    input_pyramid = modules[m_idx](input_pyramid)
+                    m_idx += 1
+                    if self.skip_rescale:
+                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                    else:
+                        input_pyramid = input_pyramid + h
+                    h = input_pyramid
+                hs.append(h)
+
+        h = hs[-1]
+        h = modules[m_idx](h, temb, zemb, train=train)
+        m_idx += 1
+        h = modules[m_idx](h)
+        m_idx += 1
+        h = modules[m_idx](h, temb, zemb, train=train)
+        m_idx += 1
+
+        pyramid = None
+
+        # Upsampling
+        for i_level in reversed(range(num_resolutions)):
+            for i_block in range(self.num_res_blocks + 1):
+                h = modules[m_idx](
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb, train=train
+                )
+                m_idx += 1
+
+            if h.shape[2] in self.attn_resolutions:
+                h = modules[m_idx](h)
+                m_idx += 1
+
+            if self.progressive != "none":
+                if i_level == num_resolutions - 1:
+                    if self.progressive == "output_skip":
+                        pyramid = act(modules[m_idx](h))
+                        m_idx += 1
+                        pyramid = modules[m_idx](pyramid)
+                        m_idx += 1
+                    elif self.progressive == "residual":
+                        pyramid = act(modules[m_idx](h))
+                        m_idx += 1
+                        pyramid = modules[m_idx](pyramid)
+                        m_idx += 1
+                else:
+                    if self.progressive == "output_skip":
+                        pyramid = self.pyramid_upsample(pyramid)
+                        pyramid_h = act(modules[m_idx](h))
+                        m_idx += 1
+                        pyramid_h = modules[m_idx](pyramid_h)
+                        m_idx += 1
+                        pyramid = pyramid + pyramid_h
+                    elif self.progressive == "residual":
+                        pyramid = modules[m_idx](pyramid)
+                        m_idx += 1
+                        if self.skip_rescale:
+                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                        else:
+                            pyramid = pyramid + h
+                        h = pyramid
+
+            if i_level != 0:
+                if self.resblock_type == "ddpm":
+                    h = modules[m_idx](h)
+                    m_idx += 1
+                else:
+                    h = modules[m_idx](h, temb, zemb, train=train)
+                    m_idx += 1
+
+        assert not hs
+
+        if self.progressive == "output_skip":
+            h = pyramid
+        else:
+            h = act(modules[m_idx](h))
+            m_idx += 1
+            h = modules[m_idx](h)
+            m_idx += 1
+
+        assert m_idx == len(modules)
+
+        if not self.not_use_tanh:
+            return jnp.tanh(h)
+        return h

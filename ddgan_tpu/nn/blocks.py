@@ -1,0 +1,420 @@
+"""NCSN++ building blocks as Flax modules (NHWC).
+
+Reference semantics: score_sde/models/layerspp.py and
+score_sde/models/up_or_down_sampling.py:28-61 (the fused FIR Conv2d).
+All GroupNorms use eps=1e-6 and num_groups=min(C//4, 32) as in the
+reference; skip connections rescale by 1/sqrt(2) when `skip_rescale`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import resample
+from .layers import Conv1x1, Conv3x3, NIN, default_init, dense_init
+
+Act = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def _num_groups(channels: int) -> int:
+    return min(channels // 4, 32)
+
+
+class AdaptiveGroupNorm(nn.Module):
+    """GroupNorm(affine=False) modulated by a style vector. (layerspp.py:46-63)
+
+    style = Dense(zemb) → (gamma, beta); bias initialized so gamma starts at
+    1 and beta at 0 (layerspp.py:53-54).
+    """
+
+    num_groups: int
+    style_dim: int  # kept for API clarity; inferred from input at call time
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+        channels = x.shape[-1]
+
+        def style_bias_init(key, shape, dtype=jnp.float32):
+            del key
+            return jnp.concatenate(
+                [jnp.ones((channels,), dtype), jnp.zeros((channels,), dtype)]
+            )
+
+        s = nn.Dense(
+            channels * 2,
+            kernel_init=dense_init(1.0),
+            bias_init=style_bias_init,
+            name="style",
+        )(style)
+        gamma, beta = jnp.split(s, 2, axis=-1)
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=1e-6,
+            use_bias=False,
+            use_scale=False,
+            name="norm",
+        )(x)
+        return gamma[:, None, None, :] * out + beta[:, None, None, :]
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier embeddings for noise levels. (layerspp.py:65-74)
+
+    W is a fixed (non-trainable) random projection, stored in the
+    'buffers' collection.
+    """
+
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.variable(
+            "buffers",
+            "W",
+            lambda: jax.random.normal(
+                self.make_rng("params"), (self.embedding_size,)
+            )
+            * self.scale,
+        )
+        x_proj = x[:, None] * w.value[None, :] * 2 * np.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class Combine(nn.Module):
+    """Combine skip-pyramid information: conv1x1 then cat or sum. (layerspp.py:77-92)"""
+
+    features: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        h = Conv1x1(self.features, name="Conv_0")(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        elif self.method == "sum":
+            return h + y
+        raise ValueError(f"Method {self.method} not recognized.")
+
+
+class AttnBlockpp(nn.Module):
+    """Full spatial self-attention over H*W. (layerspp.py:95-124)
+
+    q/k/v/out are NIN (1x1) projections; logits scaled by C^-0.5 and
+    softmaxed over the flattened key positions. Expressed as einsums, which
+    XLA lowers to batched MXU matmuls.
+    """
+
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hgt, wid, c = x.shape
+        h = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6, name="GroupNorm_0")(x)
+        q = NIN(c, name="NIN_0")(h)
+        k = NIN(c, name="NIN_1")(h)
+        v = NIN(c, name="NIN_2")(h)
+
+        w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (int(c) ** (-0.5))
+        w = w.reshape(b, hgt, wid, hgt * wid)
+        w = jax.nn.softmax(w, axis=-1)
+        w = w.reshape(b, hgt, wid, hgt, wid)
+        h = jnp.einsum("bhwij,bijc->bhwc", w, v)
+        h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class FirConv2d(nn.Module):
+    """Conv2d fused with FIR up/down resampling. (up_or_down_sampling.py:28-61)
+
+    Weight uses default_init() as passed by Upsample/Downsample
+    (layerspp.py:137-141, :172-176); bias is zero-initialized.
+    """
+
+    features: int
+    kernel: int = 3
+    up: bool = False
+    down: bool = False
+    resample_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert not (self.up and self.down)
+        in_c = x.shape[-1]
+        w = self.param(
+            "weight",
+            default_init(),
+            (self.kernel, self.kernel, in_c, self.features),
+        )
+        if self.up:
+            out = resample.upsample_conv_2d(x, w, k=self.resample_kernel)
+        elif self.down:
+            out = resample.conv_downsample_2d(x, w, k=self.resample_kernel)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(1, 1),
+                padding=(
+                    (self.kernel // 2, self.kernel // 2),
+                    (self.kernel // 2, self.kernel // 2),
+                ),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+            out = out + b.reshape(1, 1, 1, -1)
+        return out
+
+
+class Upsample(nn.Module):
+    """2x upsampling, optionally FIR and/or with conv. (layerspp.py:127-159)"""
+
+    features: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        out_ch = self.features or c
+        if not self.fir:
+            # nearest-neighbour 2x (F.interpolate 'nearest')
+            out = resample.naive_upsample_2d(x, factor=2)
+            if self.with_conv:
+                out = Conv3x3(out_ch, name="Conv_0")(out)
+        else:
+            if not self.with_conv:
+                out = resample.upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                out = FirConv2d(
+                    out_ch,
+                    kernel=3,
+                    up=True,
+                    resample_kernel=self.fir_kernel,
+                    use_bias=True,
+                    name="Conv2d_0",
+                )(x)
+        return out
+
+
+class Downsample(nn.Module):
+    """2x downsampling, optionally FIR and/or with conv. (layerspp.py:162-196)"""
+
+    features: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        out_ch = self.features or c
+        if not self.fir:
+            if self.with_conv:
+                # F.pad (0,1,0,1) then stride-2 valid conv (layerspp.py:186-188)
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = Conv3x3(out_ch, stride=2, padding=0, name="Conv_0")(x)
+            else:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        else:
+            if not self.with_conv:
+                x = resample.downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                x = FirConv2d(
+                    out_ch,
+                    kernel=3,
+                    down=True,
+                    resample_kernel=self.fir_kernel,
+                    use_bias=True,
+                    name="Conv2d_0",
+                )(x)
+        return x
+
+
+class _TembProj(nn.Module):
+    """Per-channel bias from the time embedding: Dense(act(temb)).
+
+    Weight default_init, zero bias (layerspp.py:263-265).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, temb: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.features,
+            kernel_init=default_init(),
+            bias_init=jax.nn.initializers.zeros,
+            name="dense",
+        )(temb)
+
+
+class ResnetBlockDDPMppAdagn(nn.Module):
+    """DDPM-style ResBlock with adaptive GroupNorm. (layerspp.py:199-244)"""
+
+    act: Act
+    out_ch: int | None = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: jnp.ndarray | None = None,
+        zemb: jnp.ndarray | None = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, name="GroupNorm_0")(x, zemb)
+        )
+        h = Conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + _TembProj(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(out_ch), 0, name="GroupNorm_1")(h, zemb)
+        )
+        h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = Conv3x3(out_ch, name="Conv_2")(x)
+            else:
+                x = NIN(out_ch, name="NIN_0")(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANppAdagn(nn.Module):
+    """BigGAN-style ResBlock with in-block FIR up/down. (layerspp.py:247-310)"""
+
+    act: Act
+    out_ch: int | None = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: jnp.ndarray | None = None,
+        zemb: jnp.ndarray | None = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, name="GroupNorm_0")(x, zemb)
+        )
+        if self.up:
+            if self.fir:
+                h = resample.upsample_2d(h, self.fir_kernel, factor=2)
+                x = resample.upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = resample.naive_upsample_2d(h, factor=2)
+                x = resample.naive_upsample_2d(x, factor=2)
+        elif self.down:
+            if self.fir:
+                h = resample.downsample_2d(h, self.fir_kernel, factor=2)
+                x = resample.downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = resample.naive_downsample_2d(h, factor=2)
+                x = resample.naive_downsample_2d(x, factor=2)
+
+        h = Conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + _TembProj(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(out_ch), 0, name="GroupNorm_1")(h, zemb)
+        )
+        h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = Conv1x1(out_ch, name="Conv_2")(x)
+
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANppAdagnOne(nn.Module):
+    """BigGAN ResBlock with adaGN only on the first norm. (layerspp.py:313-379)"""
+
+    act: Act
+    out_ch: int | None = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: jnp.ndarray | None = None,
+        zemb: jnp.ndarray | None = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, name="GroupNorm_0")(x, zemb)
+        )
+        if self.up:
+            if self.fir:
+                h = resample.upsample_2d(h, self.fir_kernel, factor=2)
+                x = resample.upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = resample.naive_upsample_2d(h, factor=2)
+                x = resample.naive_upsample_2d(x, factor=2)
+        elif self.down:
+            if self.fir:
+                h = resample.downsample_2d(h, self.fir_kernel, factor=2)
+                x = resample.downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = resample.naive_downsample_2d(h, factor=2)
+                x = resample.naive_downsample_2d(x, factor=2)
+
+        h = Conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + _TembProj(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+        h = self.act(
+            nn.GroupNorm(num_groups=_num_groups(out_ch), epsilon=1e-6, name="GroupNorm_1")(h)
+        )
+        h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = Conv1x1(out_ch, name="Conv_2")(x)
+
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)

@@ -1,0 +1,185 @@
+"""Shared primitives: initializers, dense/conv constructors, embeddings.
+
+Reference semantics:
+  * `default_init` — JAX-style variance_scaling(fan_avg, uniform), scale 0
+    mapped to 1e-10 (score_sde/models/layers.py:101-105). Round-trips back
+    to `jax.nn.initializers.variance_scaling` exactly.
+  * `dense_init` — the reference's dense_layer init
+    (score_sde/models/dense_layer.py:63-66 `variance_scaling_init_` →
+    `kaiming_uniform_(mode='fan_avg')`). QUIRK preserved: the reference's
+    `_calculate_correct_fan` returns **fan_out** for mode='fan_avg'
+    (dense_layer.py:23-33 — `fan_in if mode == 'fan_in' else fan_out`), so
+    despite its name this is uniform(±sqrt(3*scale/fan_out)).
+  * `get_timestep_embedding` — DDPM sinusoidal embedding
+    (score_sde/models/layers.py:475-486).
+  * `NIN` — 1x1 channel mixing (layers.py:489-512); in NHWC this is just a
+    Dense over the trailing axis with default_init(0.1).
+  * `PixelNorm` — latent normalization (ncsnpp_generator_adagn.py:51-56).
+
+Layout: NHWC; channel axis is always the trailing axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Initializer = Callable[..., jnp.ndarray]
+
+
+def default_init(scale: float = 1.0) -> Initializer:
+    """DDPM initializer: variance_scaling(scale, fan_avg, uniform); 0 → 1e-10."""
+    scale = 1e-10 if scale == 0 else scale
+    return jax.nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def dense_init(scale: float = 1.0) -> Initializer:
+    """dense_layer.py init — uniform(±sqrt(3*scale/fan_out)); 0 → 1e-10.
+
+    See module docstring for the fan_avg→fan_out quirk being preserved.
+    """
+    scale = 1e-10 if scale == 0 else scale
+    return jax.nn.initializers.variance_scaling(scale, "fan_out", "uniform")
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray, embedding_dim: int, max_positions: int = 10000
+) -> jnp.ndarray:
+    """Sinusoidal positional embedding, cat(sin, cos). (layers.py:475-486)"""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class Dense(nn.Module):
+    """Linear layer with the reference dense_layer init and zero bias."""
+
+    features: int
+    init_scale: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=dense_init(self.init_scale),
+            bias_init=jax.nn.initializers.zeros,
+            name="linear",
+        )(x)
+
+
+class ConvLayer(nn.Module):
+    """Conv2d with the reference dense_layer init (dense_layer.py:69-80)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Any = 1
+    use_bias: bool = True
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=dense_init(self.init_scale),
+            bias_init=jax.nn.initializers.zeros,
+            name="conv",
+        )(x)
+
+
+class Conv3x3(nn.Module):
+    """ddpm_conv3x3: 3x3 conv, default_init(init_scale), zero bias. (layers.py:131-138)"""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dilation: int = 1
+    init_scale: float = 1.0
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=default_init(self.init_scale),
+            bias_init=jax.nn.initializers.zeros,
+            name="conv",
+        )(x)
+
+
+class Conv1x1(nn.Module):
+    """ddpm_conv1x1: 1x1 conv, default_init(init_scale), zero bias. (layers.py:114-120)"""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    init_scale: float = 1.0
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            kernel_size=(1, 1),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            use_bias=self.use_bias,
+            kernel_init=default_init(self.init_scale),
+            bias_init=jax.nn.initializers.zeros,
+            name="conv",
+        )(x)
+
+
+class NIN(nn.Module):
+    """1x1 channel mixing via a (C_in, C_out) matrix. (layers.py:489-512)
+
+    In NHWC the reference's permute→tensordot→permute collapses to one
+    Dense on the trailing axis.
+    """
+
+    features: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "W", default_init(self.init_scale), (x.shape[-1], self.features)
+        )
+        b = self.param("b", jax.nn.initializers.zeros, (self.features,))
+        return jnp.tensordot(x, w, axes=1) + b
+
+
+class PixelNorm(nn.Module):
+    """x / sqrt(mean(x^2, channel) + 1e-8). (ncsnpp_generator_adagn.py:51-56)
+
+    The reference normalizes over dim=1; for the 2-D latent (B, nz) this is
+    the feature axis — trailing axis here.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x * jax.lax.rsqrt(jnp.mean(x**2, axis=-1, keepdims=True) + 1e-8)

@@ -1,0 +1,223 @@
+"""Host-side training loop — the TPU-native `ddgan.train` (ddgan.py:186-586).
+
+Structure per epoch (reference parity):
+  * loader.set_epoch (ddgan.py:430-431)
+  * per batch: ONE jitted SPMD step = D update + G update + EMA
+  * per-epoch cosine LR step (ddgan.py:524-526)
+  * process-0 checkpointing: content every epoch, EMA netG every
+    save_ckpt_every, losses.json append (ddgan.py:536-586)
+
+`limited_iter` truncates epochs for smoke runs (ddgan.py:414-424).
+kind_of_optim='pso' uses the gradient-free AdaptivePSO inner optimizer
+(pso_optim.py) with the reference's accumulate->step-every->20-losses
+protocol (ddgan.py:491-493, :513-515, :528-533).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import DataLoader, make_dataset
+from ..diffusion import DiffusionCoefficients, PosteriorCoefficients
+from ..models import NCSNpp, DiscriminatorSmall, DiscriminatorLarge
+from ..parallel import make_mesh, shard_batch, replicate
+from . import checkpoint as ckpt
+from .optim import cosine_lr, make_optimizer
+from .state import TrainState, create_train_state
+from .step import make_train_step
+from .pso_optim import AdaptivePSO
+from .pso_step import make_pso_train_step
+
+
+def build_models(args):
+    gen = NCSNpp.from_config(args)
+    if str(getattr(args, "disc_small", "yes")).lower() == "yes":
+        disc = DiscriminatorSmall(
+            nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim
+        )
+    else:
+        disc = DiscriminatorLarge(
+            nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim
+        )
+    return gen, disc
+
+
+def _limited_iter(args):
+    """ddgan.py:414-424 semantics: int or list → iteration cutoff."""
+    li = getattr(args, "limited_iter", "no")
+    if isinstance(li, bool):
+        return None
+    if isinstance(li, int):
+        return li
+    if isinstance(li, list):
+        return int(np.mean(li))
+    return None
+
+
+def train(args, dataset=None, mesh=None):
+    """Run training. `args` is a Config or any attribute bag with the
+    reference's schema. Returns the final TrainState."""
+    is_pso = str(getattr(args, "kind_of_optim", "adam")).lower() == "pso"
+
+    exp_path = Path("./saved_info/dd_gan") / str(args.dataset) / str(args.exp)
+    exp_path.mkdir(parents=True, exist_ok=True)
+
+    key = jax.random.PRNGKey(int(args.seed))
+
+    if dataset is None:
+        dataset = make_dataset(args)
+    loader = DataLoader(
+        dataset,
+        batch_size=args.batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_shards=jax.process_count(),
+        shard_id=jax.process_index(),
+        num_workers=getattr(args, "num_workers", 0),
+        seed=int(args.seed),
+    )
+
+    gen, disc = build_models(args)
+
+    coeff = DiffusionCoefficients.create(
+        args.num_timesteps, args.beta_min, args.beta_max, args.use_geometric
+    )
+    pos_coeff = PosteriorCoefficients.create(
+        args.num_timesteps, args.beta_min, args.beta_max, args.use_geometric
+    )
+
+    if mesh is None:
+        mesh = make_mesh()
+
+    if is_pso:
+        pso = AdaptivePSO(
+            swarm_size=20,
+            inertia_weight=0.729,
+            c1=1.49445, c1_min=1.0, c1_max=2.0,
+            c2=1.49445, c2_min=1.0, c2_max=2.0,
+            max_iter=args.num_epoch * max(1, len(loader)),
+            velocity_clamp=(-1.0, 1.0),
+            position_clamp=(-10.0, 10.0),
+            threshold_low=0.2, threshold_high=0.5, c_adjust_step=0.05,
+        )
+        tx_g = tx_d = None
+    else:
+        tx_d = make_optimizer(
+            args.beta1_d, args.beta2_d, args.weight_decay_D, args.grad_clip_norm
+        )
+        tx_g = make_optimizer(
+            args.beta1_g, args.beta2_g, args.weight_decay_G, args.grad_clip_norm
+        )
+
+    key, init_key = jax.random.split(key)
+    image_shape = (args.image_size, args.image_size, args.num_channels)
+
+    if is_pso:
+        from .pso_step import create_pso_train_state
+        state = create_pso_train_state(
+            init_key, gen, disc, pso, image_shape, args.nz,
+            batch=min(args.batch_size, 2), use_ema=args.use_ema,
+        )
+        step_fn = make_pso_train_step(
+            gen, disc, coeff, pos_coeff, pso,
+            num_timesteps=args.num_timesteps, nz=args.nz,
+            ema_decay=args.ema_decay, use_ema=args.use_ema, mesh=mesh,
+        )
+    else:
+        state = create_train_state(
+            init_key, gen, disc, tx_g, tx_d, image_shape, args.nz,
+            batch=min(args.batch_size, 2), use_ema=args.use_ema,
+        )
+        step_fn = make_train_step(
+            gen, disc, coeff, pos_coeff,
+            num_timesteps=args.num_timesteps, nz=args.nz,
+            r1_gamma=args.r1_gamma, lazy_reg=args.lazy_reg,
+            ema_decay=args.ema_decay, use_ema=args.use_ema,
+            tx_g=tx_g, tx_d=tx_d, mesh=mesh,
+        )
+        d_only_step = None
+        if int(getattr(args, "d_updates_per_g_update", 1)) > 1:
+            d_only_step = make_train_step(
+                gen, disc, coeff, pos_coeff,
+                num_timesteps=args.num_timesteps, nz=args.nz,
+                r1_gamma=args.r1_gamma, lazy_reg=args.lazy_reg,
+                ema_decay=args.ema_decay, use_ema=args.use_ema,
+                tx_g=tx_g, tx_d=tx_d, mesh=mesh, update_g=False,
+            )
+
+    init_epoch = 0
+    if getattr(args, "resume", False) and (exp_path / "content.ckpt").exists():
+        state = ckpt.load_content(exp_path, state)
+        init_epoch = int(state.epoch)
+        print(f"=> Loaded checkpoint (epoch {init_epoch})")
+
+    state = replicate(mesh, state)
+
+    limited = _limited_iter(args)
+    losses = []
+    losses_file = exp_path / "losses.json"
+    d_per_g = int(getattr(args, "d_updates_per_g_update", 1))
+
+    for epoch in range(init_epoch, args.num_epoch + 1):
+        loader.set_epoch(epoch)
+        if is_pso or args.no_lr_decay:
+            lr_g = jnp.asarray(args.lr_g, jnp.float32)
+            lr_d = jnp.asarray(args.lr_d, jnp.float32)
+        else:
+            lr_g = cosine_lr(args.lr_g, epoch, args.num_epoch)
+            lr_d = cosine_lr(args.lr_d, epoch, args.num_epoch)
+
+        loss_values_D, loss_values_G = [], []
+        epoch_t0 = time.perf_counter()
+        for iteration, (x, _) in enumerate(loader):
+            if limited is not None and iteration >= limited:
+                break
+            key, step_key = jax.random.split(key)
+            batch = shard_batch(mesh, jnp.asarray(x))
+            if not is_pso and d_per_g > 1 and (iteration % d_per_g) != d_per_g - 1:
+                state, metrics = d_only_step(state, batch, step_key, lr_g, lr_d)
+            else:
+                state, metrics = step_fn(state, batch, step_key, lr_g, lr_d)
+
+            loss_values_D.append(float(metrics.errD))
+            loss_values_G.append(float(metrics.errG))
+
+            if iteration % 100 == 0 and jax.process_index() == 0:
+                print(
+                    f"Epoch {epoch + 1}, Iteration {iteration}, "
+                    f"G Loss: {loss_values_G[-1]:.8f}, D Loss: {loss_values_D[-1]:.8f}"
+                )
+
+        state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+
+        if jax.process_index() == 0:
+            ckpt.save_content(exp_path, jax.device_get(state), args)
+            if epoch % args.save_ckpt_every == 0:
+                params = (
+                    state.ema_G if (args.use_ema and state.ema_G is not None) else state.params_G
+                )
+                ckpt.save_netg(exp_path, epoch, jax.device_get(params),
+                               jax.device_get(state.buffers_G))
+
+            avg_d = float(np.mean(loss_values_D)) if loss_values_D else float("inf")
+            avg_g = float(np.mean(loss_values_G)) if loss_values_G else float("inf")
+            losses.append({"epoch": epoch + 1, "G_loss": avg_g, "D_loss": avg_d})
+            with open(losses_file, "w") as f:
+                json.dump(losses, f, indent=4)
+            dt = time.perf_counter() - epoch_t0
+            n_it = len(loss_values_D)
+            if n_it:
+                print(
+                    f"[epoch {epoch}] {n_it} iters in {dt:.1f}s "
+                    f"({n_it / dt:.2f} it/s), G {avg_g:.4f} D {avg_d:.4f}"
+                )
+
+    return state

@@ -1,0 +1,215 @@
+"""The fused DDGAN train step: D update, G update, EMA — one jitted SPMD
+program over a `jax.sharding.Mesh`.
+
+Reference semantics (ddgan.py:438-522, per batch):
+  D: t ~ U[0,T); (x_t, x_{t+1}) = q_sample_pairs; errD_real =
+     softplus(-D(x_t,t,x_{t+1})).mean(); lazy R1 penalty r1_gamma/2 *
+     E||∂ D(x_t).sum()/∂x_t||² every `lazy_reg` steps (grad-of-grad);
+     fakes from G → sample_posterior → errD_fake = softplus(D(·)).mean();
+     clip grads, Adam step.
+  G: fresh t/pairs/z; errG = softplus(-D(x_pos,t,x_{t+1})).mean() against
+     the FRESHLY UPDATED D; clip, Adam step.
+  EMA update on G params each iteration.
+
+TPU design vs the reference's DDP:
+  * the whole iteration is ONE compiled function under `shard_map` over a
+    1-D 'data' mesh axis — batch sharded on axis 0, params replicated.
+  * gradient all-reduce = `lax.pmean` over ICI (replaces NCCL bucket
+    all-reduce inside DDP backward, ddgan.py:363-365); clipping happens on
+    the averaged gradient, same math as torch clipping post-all-reduce
+    local grads.
+  * the R1 grad-of-grad flows through the XLA dilated-conv upfirdn2d, so no
+    hand-written double-backward is needed (reference upfirdn2d.py:27-150).
+  * randomness: the device key is fold_in(axis_index) — the SPMD analog of
+    the reference's per-rank `seed + rank` (ddgan.py:189-191).
+  * minibatch-stddev groups stay within each device's shard (exactly DDP's
+    per-process semantics) because the whole loss runs per-shard under
+    shard_map.
+  * lazy R1 is a `lax.cond` on `step % lazy_reg` so one compiled step
+    serves both branches. The reference's precedence bug (applies R1 for
+    PSO runs too; crashes when lazy_reg is None with adam, ddgan.py:462)
+    is fixed to the documented intent: R1 every lazy_reg steps, every step
+    if lazy_reg is None (SURVEY.md §7 quirks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..diffusion import (
+    DiffusionCoefficients,
+    PosteriorCoefficients,
+    q_sample_pairs,
+    sample_posterior,
+)
+from .ema import ema_update
+from .optim import apply_lr
+from .state import TrainState
+
+softplus = jax.nn.softplus
+
+
+class StepMetrics(NamedTuple):
+    errD: jnp.ndarray
+    errD_real: jnp.ndarray
+    errD_fake: jnp.ndarray
+    errG: jnp.ndarray
+    grad_penalty: jnp.ndarray
+
+
+def make_train_step(
+    gen,
+    disc,
+    coeff: DiffusionCoefficients,
+    pos_coeff: PosteriorCoefficients,
+    *,
+    num_timesteps: int,
+    nz: int,
+    r1_gamma: float,
+    lazy_reg: int | None,
+    ema_decay: float,
+    use_ema: bool,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+    axis_name: str = "data",
+    update_g: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(state, batch, key, lr_g, lr_d) -> (state, StepMetrics).
+    `batch` is the GLOBAL batch (NHWC), sharded over `axis_name` when a
+    mesh is given. `lr_g`/`lr_d` are traced scalars from the per-epoch
+    cosine schedule. With update_g=False, only D is updated (the
+    d_updates_per_g_update>1 mode — parsed but dead in the reference,
+    implemented here; SURVEY.md §7 quirks).
+    """
+
+    def apply_D(params_D, x, t, x_t):
+        return disc.apply({"params": params_D}, x, t, x_t).reshape(-1)
+
+    def apply_G(params_G, buffers_G, x, t, z, dropout_key):
+        variables = {"params": params_G}
+        if buffers_G:
+            variables["buffers"] = buffers_G
+        return gen.apply(
+            variables, x, t, z, train=True, rngs={"dropout": dropout_key}
+        )
+
+    def local_step(coeff_, pos_coeff_, state: TrainState, real, key, lr_g, lr_d):
+        if mesh is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        key = jax.random.fold_in(key, state.step)
+        (
+            kd_t, kd_q, kd_z, kd_post, kd_drop,
+            kg_t, kg_q, kg_z, kg_post, kg_drop,
+        ) = jax.random.split(key, 10)
+        b = real.shape[0]
+
+        # ---------------- D step ----------------
+        t = jax.random.randint(kd_t, (b,), 0, num_timesteps)
+        x_t, x_tp1 = q_sample_pairs(coeff_, real, t, kd_q)
+
+        latent_z = jax.random.normal(kd_z, (b, nz), real.dtype)
+        x_0_pred = apply_G(state.params_G, state.buffers_G, x_tp1, t, latent_z, kd_drop)
+        x_pos = sample_posterior(pos_coeff_, x_0_pred, x_tp1, t, kd_post)
+        x_pos = jax.lax.stop_gradient(x_pos)
+
+        if lazy_reg is None:
+            apply_r1 = jnp.asarray(True)
+        else:
+            apply_r1 = (state.step % lazy_reg) == 0
+
+        def d_loss_fn(params_D):
+            d_real = apply_D(params_D, x_t, t, x_tp1)
+            errD_real = softplus(-d_real).mean()
+            d_fake = apply_D(params_D, x_pos, t, x_tp1)
+            errD_fake = softplus(d_fake).mean()
+
+            def r1_penalty(_):
+                grad_real = jax.grad(
+                    lambda xi: apply_D(params_D, xi, t, x_tp1).sum()
+                )(x_t)
+                gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
+                return r1_gamma / 2.0 * gp
+
+            penalty = jax.lax.cond(
+                apply_r1, r1_penalty, lambda _: jnp.zeros(()), operand=None
+            )
+            loss = errD_real + errD_fake + penalty
+            return loss, (errD_real, errD_fake, penalty)
+
+        (_, (errD_real, errD_fake, penalty)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.params_D)
+        if mesh is not None:
+            d_grads = jax.lax.pmean(d_grads, axis_name)
+        d_updates, opt_D = tx_d.update(d_grads, state.opt_D, state.params_D)
+        params_D = optax.apply_updates(state.params_D, apply_lr(d_updates, lr_d))
+
+        # ---------------- G step (fresh t/pairs/z, updated D) ----------------
+        if update_g:
+            t2 = jax.random.randint(kg_t, (b,), 0, num_timesteps)
+            _, x_tp1_g = q_sample_pairs(coeff_, real, t2, kg_q)
+            latent_z2 = jax.random.normal(kg_z, (b, nz), real.dtype)
+
+            def g_loss_fn(params_G):
+                x0 = apply_G(params_G, state.buffers_G, x_tp1_g, t2, latent_z2, kg_drop)
+                x_pos_g = sample_posterior(pos_coeff_, x0, x_tp1_g, t2, kg_post)
+                out = apply_D(params_D, x_pos_g, t2, x_tp1_g)
+                return softplus(-out).mean()
+
+            errG, g_grads = jax.value_and_grad(g_loss_fn)(state.params_G)
+            if mesh is not None:
+                g_grads = jax.lax.pmean(g_grads, axis_name)
+            g_updates, opt_G = tx_g.update(g_grads, state.opt_G, state.params_G)
+            params_G = optax.apply_updates(
+                state.params_G, apply_lr(g_updates, lr_g)
+            )
+            ema_G = (
+                ema_update(state.ema_G, params_G, ema_decay)
+                if use_ema
+                else state.ema_G
+            )
+        else:
+            errG = jnp.zeros(())
+            params_G, opt_G, ema_G = state.params_G, state.opt_G, state.ema_G
+
+        metrics = StepMetrics(
+            errD=errD_real + errD_fake,
+            errD_real=errD_real,
+            errD_fake=errD_fake,
+            errG=errG,
+            grad_penalty=penalty,
+        )
+        if mesh is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+
+        new_state = state.replace(
+            params_G=params_G,
+            params_D=params_D,
+            opt_G=opt_G,
+            opt_D=opt_D,
+            ema_G=ema_G,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(functools.partial(local_step, coeff, pos_coeff))
+
+    sharded = shard_map(
+        functools.partial(local_step, coeff, pos_coeff),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,124 @@
+"""Train-step tests on the virtual 8-device CPU mesh (tiny model).
+
+Covers: fused D+G step under shard_map (grad pmean over 'data'), lazy R1
+gating, EMA update, parameter movement, metric finiteness, and
+replicated-state consistency across devices — the SPMD equivalent of the
+reference's DDP invariants (broadcast + all-reduce keep ranks in sync).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddgan_tpu.config import Config
+from ddgan_tpu.diffusion import DiffusionCoefficients, PosteriorCoefficients
+from ddgan_tpu.models import NCSNpp, DiscriminatorSmall
+from ddgan_tpu.parallel import make_mesh, replicate, shard_batch
+from ddgan_tpu.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    cosine_lr,
+)
+
+
+def tiny_cfg():
+    return Config(
+        image_size=8, num_channels=1, num_channels_dae=8, ch_mult=[1],
+        num_res_blocks=1, attn_resolutions=[4], nz=4, z_emb_dim=8, n_mlp=1,
+        t_emb_dim=8, ngf=4, num_timesteps=2, dropout=0.0, r1_gamma=0.05,
+        lazy_reg=2, ema_decay=0.999,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    gen = NCSNpp.from_config(cfg)
+    disc = DiscriminatorSmall(nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim)
+    coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, 0.0, cfg.grad_clip_norm)
+    tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, 0.0, cfg.grad_clip_norm)
+    mesh = make_mesh()
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, tx_g, tx_d,
+        (cfg.image_size, cfg.image_size, cfg.num_channels), cfg.nz,
+        batch=2, use_ema=True,
+    )
+    state = replicate(mesh, state)
+    step = make_train_step(
+        gen, disc, coeff, pos,
+        num_timesteps=cfg.num_timesteps, nz=cfg.nz,
+        r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
+        ema_decay=cfg.ema_decay, use_ema=True,
+        tx_g=tx_g, tx_d=tx_d, mesh=mesh,
+    )
+    batch = shard_batch(
+        mesh,
+        jnp.asarray(
+            np.random.RandomState(0)
+            .uniform(-1, 1, (16, cfg.image_size, cfg.image_size, cfg.num_channels))
+            .astype(np.float32)
+        ),
+    )
+    return cfg, mesh, state, step, batch
+
+
+def test_step_runs_and_updates(setup):
+    cfg, mesh, state, step, batch = setup
+    lr = jnp.asarray(1e-3, jnp.float32)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1), lr, lr)
+    # step 0: lazy_reg fires (0 % 2 == 0) → penalty > 0 generically
+    assert np.isfinite(float(m1.errD)) and np.isfinite(float(m1.errG))
+    assert float(m1.grad_penalty) > 0.0
+    assert int(s1.step) == 1
+
+    # step 1: no R1
+    s2, m2 = step(s1, batch, jax.random.PRNGKey(2), lr, lr)
+    assert float(m2.grad_penalty) == 0.0
+
+    # params actually moved
+    def l2diff(a, b):
+        return sum(
+            float(jnp.sum((x - y) ** 2))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert l2diff(state.params_G, s1.params_G) > 0
+    assert l2diff(state.params_D, s1.params_D) > 0
+    # EMA moved toward params but is not equal to them
+    assert l2diff(state.ema_G, s1.ema_G) > 0
+    assert l2diff(s1.ema_G, s1.params_G) > 0
+
+
+def test_losses_match_softplus_range(setup):
+    """At init D≈0 ⇒ errD ≈ 2*softplus(0) = 2 ln 2, errG ≈ ln 2."""
+    cfg, mesh, state, step, batch = setup
+    lr = jnp.asarray(0.0, jnp.float32)  # no movement: inspect pure losses
+    _, m = step(state, batch, jax.random.PRNGKey(3), lr, lr)
+    assert abs(float(m.errD) - 2 * np.log(2)) < 0.05
+    assert abs(float(m.errG) - np.log(2)) < 0.05
+
+
+def test_state_stays_replicated(setup):
+    """After a sharded step, every device must hold identical params —
+    the pmean-based DDP invariant."""
+    cfg, mesh, state, step, batch = setup
+    lr = jnp.asarray(1e-3, jnp.float32)
+    s1, _ = step(state, batch, jax.random.PRNGKey(4), lr, lr)
+    leaf = jax.tree.leaves(s1.params_G)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_cosine_lr_matches_torch_schedule():
+    """CosineAnnealingLR(eta_min=1e-5) stepped per epoch."""
+    base, T = 3e-4, 10
+    assert abs(float(cosine_lr(base, 0, T)) - base) < 1e-12
+    mid = float(cosine_lr(base, 5, T))
+    assert abs(mid - (1e-5 + 0.5 * (base - 1e-5))) < 1e-9
+    end = float(cosine_lr(base, 10, T))
+    assert abs(end - 1e-5) < 1e-9
