@@ -156,6 +156,16 @@ class Luna16Dataset:
     # -- access --------------------------------------------------------------
     @staticmethod
     def _read_slice(path, axis, index):
+        """One 2-D slice; prefers the native C++ slicecache (LRU-cached
+        volume decode) over re-reading the whole .nii.gz per slice like
+        the reference does (custom.py:190)."""
+        try:
+            from .. import native
+
+            if native.available():
+                return native.read_slice_u8(path, axis, index)
+        except Exception:
+            pass  # fall back to the pure-numpy reader
         patch = read_nifti(path)
         if index < 0 or index >= patch.shape["xyz".index(axis)]:
             raise IndexError(f"Slice index {index} out of bounds")

@@ -212,6 +212,11 @@ def train(args, dataset=None, mesh=None):
             losses.append({"epoch": epoch + 1, "G_loss": avg_g, "D_loss": avg_d})
             with open(losses_file, "w") as f:
                 json.dump(losses, f, indent=4)
+            # final generator loss for the PSO HPO scorer. The reference
+            # reads this file but never writes it (pso.py:415-420 — its
+            # loss score degenerates); we implement the intent.
+            with open(exp_path / "final_loss.txt", "w") as f:
+                f.write(f"{avg_g}\n")
             dt = time.perf_counter() - epoch_t0
             n_it = len(loss_values_D)
             if n_it:

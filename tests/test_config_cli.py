@@ -1,0 +1,98 @@
+"""Config schema + CLI merge semantics + checkpoint roundtrip tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddgan_tpu.config import Config, load_json_to_dict, modify_json_file
+from ddgan_tpu.cli.train_cli import build_parser, resolve_config
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config(dataset="cifar10", lr_g=1.6e-4, ch_mult=[1, 2, 2, 2])
+    cfg.save(tmp_path / "c.json")
+    back = Config.load(tmp_path / "c.json")
+    assert back.dataset == "cifar10"
+    assert back.lr_g == 1.6e-4
+    assert back.ch_mult == [1, 2, 2, 2]
+
+
+def test_config_keeps_unknown_keys():
+    cfg = Config.from_dict({"dataset": "luna16", "with_FID": True, "save_dir": "/x"})
+    assert cfg.with_FID is True
+    assert cfg.save_dir == "/x"
+
+
+def test_modify_json_file(tmp_path):
+    p = tmp_path / "c.json"
+    with open(p, "w") as f:
+        json.dump({"a": 1, "b": 2}, f)
+    out = modify_json_file(p, {"b": 3, "c": 4})
+    assert out == {"a": 1, "b": 3, "c": 4}
+    assert load_json_to_dict(p) == out
+
+
+def test_cli_merge_writes_back(tmp_path, monkeypatch):
+    """CLI overrides are written back into configs/config.json
+    (train_ddgan.py:198-222 semantics)."""
+    monkeypatch.chdir(tmp_path)
+    args = build_parser().parse_args(
+        ["--use_config_file", "True", "--batch_size", "7", "--dataset", "synthetic"]
+    )
+    cfg = resolve_config(args)
+    assert cfg.batch_size == 7
+    assert cfg.dataset == "synthetic"
+    on_disk = load_json_to_dict("configs/config.json")
+    assert on_disk["batch_size"] == 7
+    assert on_disk["dataset"] == "synthetic"
+    # and defaults survive
+    assert on_disk["beta_min"] == 0.1
+
+
+def test_cli_no_config_file_uses_flags_only(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = build_parser().parse_args(["--batch_size", "9"])
+    cfg = resolve_config(args)
+    assert cfg.batch_size == 9
+    assert not os.path.exists("configs/config.json")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from flax import serialization
+    from ddgan_tpu.train import checkpoint as ckpt
+    from ddgan_tpu.train.state import TrainState
+
+    state = TrainState(
+        params_G={"w": jnp.ones((2, 3))},
+        params_D={"v": jnp.zeros((4,))},
+        buffers_G={},
+        opt_G={"count": jnp.zeros((), jnp.int32)},
+        opt_D={"count": jnp.zeros((), jnp.int32)},
+        ema_G={"w": jnp.full((2, 3), 0.5)},
+        step=jnp.asarray(7, jnp.int32),
+        epoch=jnp.asarray(2, jnp.int32),
+    )
+    ckpt.save_content(tmp_path, state, {"dataset": "synthetic", "seed": 1})
+    template = TrainState(
+        params_G={"w": jnp.zeros((2, 3))},
+        params_D={"v": jnp.ones((4,))},
+        buffers_G={},
+        opt_G={"count": jnp.zeros((), jnp.int32)},
+        opt_D={"count": jnp.zeros((), jnp.int32)},
+        ema_G={"w": jnp.zeros((2, 3))},
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+    back = ckpt.load_content(tmp_path, template)
+    assert int(back.step) == 7
+    assert int(back.epoch) == 2
+    np.testing.assert_array_equal(np.asarray(back.params_G["w"]), np.ones((2, 3)))
+    np.testing.assert_array_equal(np.asarray(back.ema_G["w"]), np.full((2, 3), 0.5))
+    assert ckpt.load_content_args(tmp_path)["dataset"] == "synthetic"
+
+    ckpt.save_netg(tmp_path, 5, {"w": jnp.ones((2,))})
+    payload = ckpt.load_netg(tmp_path / "netG_5.ckpt")
+    np.testing.assert_array_equal(payload["params"]["w"], np.ones((2,)))

@@ -117,18 +117,22 @@ def test_ncsnpp_parity_output_skip_fourier():
 
 
 def test_ncsnpp_parity_ddpm_fir():
-    """DDPM resblocks + FIR Upsample/Downsample-with-conv (FirConv2d), no tanh.
+    """DDPM resblocks + pure-FIR Upsample/Downsample (no conv), no tanh.
 
-    NOTE: the reference's non-FIR Upsample is unrunnable in torch —
-    `F.interpolate(x, (H*2, W*2), 'nearest')` passes 'nearest' as
-    scale_factor (layerspp.py:150 raises ValueError), so ddpm+fir=False
-    with >1 resolution cannot be parity-tested against it; our
-    implementation implements the intended nearest-2x there.
+    NOTE two latent reference bugs cap what is parity-testable here:
+    (a) non-FIR Upsample is unrunnable in torch — `F.interpolate(x,
+    (H*2, W*2), 'nearest')` passes 'nearest' as scale_factor
+    (layerspp.py:150); (b) FIR Upsample WITH conv passes a 4-element
+    stride to conv_transpose2d (up_or_down_sampling.py:122-135). Both
+    paths are dead code in the reference; ours implements the intent
+    (nearest-2x / StyleGAN2 fused transposed conv, golden-tested in
+    tests/test_upfirdn2d.py).
     """
     run_parity(
         tiny_gen_args(
             resblock_type="ddpm",
             fir=True,
+            resamp_with_conv=False,
             not_use_tanh=True,
             skip_rescale=False,
             attn_resolutions=[],

@@ -1,0 +1,85 @@
+"""PSO outer HPO loop tests: particle grid snapping, swarm convergence on
+an analytic objective, scoring functions, config prepare/cleanup."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ddgan_tpu.pso import PSO, Particle, loss_stability_score, normalize_score
+from ddgan_tpu.pso.evaluate import cleanup_experiment, prepare_config
+from ddgan_tpu.pso.scoring import combined_score, compute_loss
+
+
+SPACE = {
+    "lr_g": [1e-6, 1e-3],
+    "batch_size": [16, 128],
+    "step": {"batch_size": 16},
+}
+
+
+def test_particle_respects_grid_and_bounds():
+    p = Particle(SPACE, seed=0)
+    assert 1e-6 <= p.position["lr_g"] <= 1e-3
+    assert p.position["batch_size"] in range(16, 129, 16)
+    # after updates, still snapped and clamped
+    p.velocity = {"lr_g": 1.0, "batch_size": 1000.0}
+    p.update_position(SPACE)
+    assert p.position["lr_g"] == 1e-3
+    assert p.position["batch_size"] == 128
+
+
+def test_pso_converges_on_quadratic():
+    space = {"x": [-5.0, 5.0], "y": [-5.0, 5.0], "step": {}}
+
+    def evaluate(pos, seed):
+        return (pos["x"] - 1.0) ** 2 + (pos["y"] + 2.0) ** 2
+
+    pso = PSO(space, evaluate, num_particles=8, num_iterations=30,
+              do_clamping=True, seed=3)
+    best = pso.optimize()
+    assert abs(best["x"] - 1.0) < 0.5
+    assert abs(best["y"] + 2.0) < 0.5
+    assert pso.global_best_score < 0.3
+
+
+def test_scoring_functions(tmp_path):
+    assert normalize_score(150, 0, 300) == 0.5
+    assert normalize_score(1e9, 0, 300) == 1.0
+    assert combined_score(0.5, 150) == 0.5 * 0.5 + 0.5 * 0.5
+
+    # stability score: in-band losses → 0; out-of-band penalized
+    losses = [
+        {"epoch": 1, "G_loss": 1.2, "D_loss": 1.4},
+        {"epoch": 2, "G_loss": 2.0, "D_loss": 2.0},
+    ]
+    with open(tmp_path / "losses.json", "w") as f:
+        json.dump(losses, f)
+    score = loss_stability_score(str(tmp_path))
+    assert abs(score - (0.0 + (1.0 + 0.7)) / 2) < 1e-9
+    assert loss_stability_score(str(tmp_path / "missing")) == float("inf")
+
+    # final_loss.txt reader
+    assert compute_loss(str(tmp_path)) == float("inf")
+    with open(tmp_path / "final_loss.txt", "w") as f:
+        f.write("0.25\n")
+    assert compute_loss(str(tmp_path)) == 0.25
+
+
+def test_prepare_and_cleanup(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("configs")
+    base = {"dataset": "synthetic", "exp": "x", "seed": 1, "num_epoch": 99}
+    with open("configs/config.json", "w") as f:
+        json.dump(base, f)
+    path, config = prepare_config("configs/config.json", {"lr_g": 1e-4}, 42)
+    assert os.path.exists(path)
+    assert config["exp"] == "pso_eval_42"
+    assert config["num_epoch"] == 1
+    assert config["lr_g"] == 1e-4
+    exp_path = os.path.join("saved_info/dd_gan", config["dataset"], config["exp"])
+    os.makedirs(exp_path)
+    cleanup_experiment(config, 42)
+    assert not os.path.exists(path)
+    assert not os.path.exists(exp_path)

@@ -117,7 +117,7 @@ def test_state_stays_replicated(setup):
 def test_cosine_lr_matches_torch_schedule():
     """CosineAnnealingLR(eta_min=1e-5) stepped per epoch."""
     base, T = 3e-4, 10
-    assert abs(float(cosine_lr(base, 0, T)) - base) < 1e-12
+    assert abs(float(cosine_lr(base, 0, T)) - base) < 1e-9  # float32 epsilon
     mid = float(cosine_lr(base, 5, T))
     assert abs(mid - (1e-5 + 0.5 * (base - 1e-5))) < 1e-9
     end = float(cosine_lr(base, 10, T))
