@@ -9,3 +9,4 @@ MASTER_ADDR/PORT env://) is `jax.distributed.initialize`.
 """
 
 from .mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from .distributed import initialize, init_processes  # noqa: F401

@@ -3,6 +3,10 @@
 Mirrors the reference's Gloo-on-CPU affordance (train_ddgan.py:100) — the JAX
 analog is the CPU backend with XLA_FLAGS forcing 8 host devices, which lets
 multi-chip sharding be exercised without TPU hardware.
+
+NOTE: this environment's sitecustomize registers the remote 'axon' TPU
+backend and overrides JAX_PLATFORMS, so env vars alone do NOT select CPU —
+`jax.config.update('jax_platforms', 'cpu')` after import is authoritative.
 """
 
 import os
@@ -16,4 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -86,3 +86,24 @@ def install_reference():
         sys.modules["score_sde.op"] = op
         sys.modules["score_sde.op.upfirdn2d"] = upfirdn_mod
         score_sde.op = op
+
+    # stubs for packages absent from this image that reference
+    # entrypoint modules import at top level (torchvision, pytorch_fid
+    # chain) — enough to import test_ddgan.py as a math oracle.
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tv.utils = types.SimpleNamespace(save_image=lambda *a, **k: None)
+            sys.modules["torchvision"] = tv
+    if "pytorch_fid.fid_score" not in sys.modules:
+        try:
+            import pytorch_fid.fid_score  # noqa: F401
+        except ImportError:
+            pf = types.ModuleType("pytorch_fid")
+            fs = types.ModuleType("pytorch_fid.fid_score")
+            fs.calculate_fid_given_paths = lambda *a, **k: float("nan")
+            pf.fid_score = fs
+            sys.modules["pytorch_fid"] = pf
+            sys.modules["pytorch_fid.fid_score"] = fs
