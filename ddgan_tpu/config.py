@@ -51,6 +51,10 @@ class Config:
     beta_min: float = 0.1
     beta_max: float = 20.0
     num_timesteps: int = 1
+    # TPU extension (not in the reference schema): 'float32' or 'bfloat16'
+    # compute dtype for the model conv/attention path; params, norms
+    # statistics, losses and the optimizer always stay float32.
+    compute_dtype: str = "float32"
     # generator (NCSN++)
     num_channels_dae: int = 128
     n_mlp: int = 4

@@ -12,7 +12,7 @@ shards), matching the reference's per-process DDP semantics
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,14 +56,18 @@ class DownConvBlock(nn.Module):
     downsample: bool = False
     act: Act = leaky_relu_02
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
         out = self.act(x)
         out = ConvLayer(
-            self.out_channel, self.kernel_size, padding=self.padding, name="conv1"
+            self.out_channel, self.kernel_size, padding=self.padding,
+            dtype=self.dtype, name="conv1"
         )(out)
-        out = out + Dense(self.out_channel, name="dense_t1")(t_emb)[:, None, None, :]
+        out = out + Dense(self.out_channel, dtype=self.dtype, name="dense_t1")(
+            t_emb
+        )[:, None, None, :]
         out = self.act(out)
         if self.downsample:
             out = resample.downsample_2d(out, self.fir_kernel, factor=2)
@@ -73,10 +77,12 @@ class DownConvBlock(nn.Module):
             self.kernel_size,
             padding=self.padding,
             init_scale=0.0,
+            dtype=self.dtype,
             name="conv2",
         )(out)
         skip = ConvLayer(
-            self.out_channel, 1, padding=0, use_bias=False, name="skip"
+            self.out_channel, 1, padding=0, use_bias=False,
+            dtype=self.dtype, name="skip"
         )(x)
         return (out + skip) / np.sqrt(2.0)
 
@@ -89,12 +95,14 @@ def minibatch_stddev(out: jnp.ndarray, stddev_group: int = 4, stddev_feat: int =
     """
     batch, height, width, channel = out.shape
     group = min(batch, stddev_group)
-    s = out.reshape(group, -1, height, width, stddev_feat, channel // stddev_feat)
+    s = out.astype(jnp.float32).reshape(
+        group, -1, height, width, stddev_feat, channel // stddev_feat
+    )
     var = jnp.var(s, axis=0)  # biased (unbiased=False)
     stddev = jnp.sqrt(var + 1e-8)
     stddev = stddev.mean(axis=(1, 2, 4), keepdims=True)  # over H, W, C/feat
     stddev = stddev.squeeze(-1)  # (B/g, 1, 1, feat)
-    stddev = jnp.tile(stddev, (group, height, width, 1))
+    stddev = jnp.tile(stddev, (group, height, width, 1)).astype(out.dtype)
     return jnp.concatenate([out, stddev], axis=-1)
 
 
@@ -105,6 +113,7 @@ class DiscriminatorSmall(nn.Module):
     nc: int = 3  # channels of ONE image; input pair has 2*nc
     ngf: int = 64
     t_emb_dim: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -121,25 +130,28 @@ class DiscriminatorSmall(nn.Module):
             )(t)
         )
         input_x = jnp.concatenate([x, x_t], axis=-1)
+        if self.dtype is not None:
+            input_x = input_x.astype(self.dtype)
 
-        h0 = ConvLayer(self.ngf * 2, 1, padding=0, name="start_conv")(input_x)
-        h1 = DownConvBlock(self.ngf * 2, act=act, name="conv1")(h0, t_embed)
-        h2 = DownConvBlock(self.ngf * 4, downsample=True, act=act, name="conv2")(
+        h0 = ConvLayer(self.ngf * 2, 1, padding=0, dtype=self.dtype, name="start_conv")(input_x)
+        h1 = DownConvBlock(self.ngf * 2, act=act, dtype=self.dtype, name="conv1")(h0, t_embed)
+        h2 = DownConvBlock(self.ngf * 4, downsample=True, act=act, dtype=self.dtype, name="conv2")(
             h1, t_embed
         )
-        h3 = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv3")(
+        h3 = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv3")(
             h2, t_embed
         )
-        out = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv4")(
+        out = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv4")(
             h3, t_embed
         )
 
         out = minibatch_stddev(out)
         out = ConvLayer(
-            self.ngf * 8, 3, padding=1, init_scale=0.0, name="final_conv"
+            self.ngf * 8, 3, padding=1, init_scale=0.0, dtype=self.dtype, name="final_conv"
         )(out)
         out = act(out)
-        out = out.sum(axis=(1, 2))  # spatial sum (discriminator.py:164)
+        # head in float32 (big spatial sums deserve full precision)
+        out = out.astype(jnp.float32).sum(axis=(1, 2))  # (discriminator.py:164)
         out = Dense(1, name="end_linear")(out)
         return out
 
@@ -151,6 +163,7 @@ class DiscriminatorLarge(nn.Module):
     nc: int = 1
     ngf: int = 32
     t_emb_dim: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -167,18 +180,20 @@ class DiscriminatorLarge(nn.Module):
             )(t)
         )
         input_x = jnp.concatenate([x, x_t], axis=-1)
+        if self.dtype is not None:
+            input_x = input_x.astype(self.dtype)
 
-        h = ConvLayer(self.ngf * 2, 1, padding=0, name="start_conv")(input_x)
-        h = DownConvBlock(self.ngf * 4, downsample=True, act=act, name="conv1")(h, t_embed)
-        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv2")(h, t_embed)
-        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv3")(h, t_embed)
-        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv4")(h, t_embed)
-        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv5")(h, t_embed)
-        out = DownConvBlock(self.ngf * 8, downsample=True, act=act, name="conv6")(h, t_embed)
+        h = ConvLayer(self.ngf * 2, 1, padding=0, dtype=self.dtype, name="start_conv")(input_x)
+        h = DownConvBlock(self.ngf * 4, downsample=True, act=act, dtype=self.dtype, name="conv1")(h, t_embed)
+        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv2")(h, t_embed)
+        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv3")(h, t_embed)
+        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv4")(h, t_embed)
+        h = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv5")(h, t_embed)
+        out = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv6")(h, t_embed)
 
         out = minibatch_stddev(out)
-        out = ConvLayer(self.ngf * 8, 3, padding=1, name="final_conv")(out)
+        out = ConvLayer(self.ngf * 8, 3, padding=1, dtype=self.dtype, name="final_conv")(out)
         out = act(out)
-        out = out.sum(axis=(1, 2))
+        out = out.astype(jnp.float32).sum(axis=(1, 2))
         out = Dense(1, name="end_linear")(out)
         return out

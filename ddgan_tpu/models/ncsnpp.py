@@ -56,10 +56,17 @@ class NCSNpp(nn.Module):
     z_emb_dim: int = 256
     n_mlp: int = 3
     centered: bool = True
+    dtype: Any = None  # compute dtype for the conv/attn path (params f32)
 
     @classmethod
     def from_config(cls, config: Any) -> "NCSNpp":
+        import jax.numpy as _jnp
+
+        dtype_name = str(getattr(config, "compute_dtype", "float32"))
+        dtype = {"float32": None, "bfloat16": _jnp.bfloat16,
+                 "bf16": _jnp.bfloat16}.get(dtype_name, None)
         return cls(
+            dtype=dtype,
             nf=config.num_channels_dae,
             ch_mult=tuple(config.ch_mult),
             num_res_blocks=config.num_res_blocks,
@@ -98,7 +105,9 @@ class NCSNpp(nn.Module):
         ]
         self._all_resolutions = all_resolutions
         init_scale = 0.0
-        combiner = functools.partial(dnn.Combine, method=self.progressive_combine)
+        combiner = functools.partial(
+            dnn.Combine, method=self.progressive_combine, dtype=self.dtype
+        )
 
         modules = []
         # timestep embedding (construction order matches reference :96-117)
@@ -119,19 +128,22 @@ class NCSNpp(nn.Module):
             )
 
         AttnBlock = functools.partial(
-            dnn.AttnBlockpp, init_scale=init_scale, skip_rescale=self.skip_rescale
+            dnn.AttnBlockpp, init_scale=init_scale, skip_rescale=self.skip_rescale,
+            dtype=self.dtype,
         )
         Upsample = functools.partial(
             dnn.Upsample,
             with_conv=self.resamp_with_conv,
             fir=self.fir,
             fir_kernel=self.fir_kernel,
+            dtype=self.dtype,
         )
         Downsample = functools.partial(
             dnn.Downsample,
             with_conv=self.resamp_with_conv,
             fir=self.fir,
             fir_kernel=self.fir_kernel,
+            dtype=self.dtype,
         )
 
         if self.progressive == "output_skip":
@@ -140,7 +152,8 @@ class NCSNpp(nn.Module):
             )
         elif self.progressive == "residual":
             pyramid_upsample = functools.partial(
-                dnn.Upsample, fir=self.fir, fir_kernel=self.fir_kernel, with_conv=True
+                dnn.Upsample, fir=self.fir, fir_kernel=self.fir_kernel,
+                with_conv=True, dtype=self.dtype,
             )
         if self.progressive_input == "input_skip":
             self.pyramid_downsample = dnn.Downsample(
@@ -148,7 +161,8 @@ class NCSNpp(nn.Module):
             )
         elif self.progressive_input == "residual":
             pyramid_downsample = functools.partial(
-                dnn.Downsample, fir=self.fir, fir_kernel=self.fir_kernel, with_conv=True
+                dnn.Downsample, fir=self.fir, fir_kernel=self.fir_kernel,
+                with_conv=True, dtype=self.dtype,
             )
 
         if self.resblock_type == "ddpm":
@@ -156,6 +170,7 @@ class NCSNpp(nn.Module):
                 dnn.ResnetBlockDDPMppAdagn,
                 act=act,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 init_scale=init_scale,
                 skip_rescale=self.skip_rescale,
             )
@@ -164,6 +179,7 @@ class NCSNpp(nn.Module):
                 dnn.ResnetBlockBigGANppAdagn,
                 act=act,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 fir=self.fir,
                 fir_kernel=self.fir_kernel,
                 init_scale=init_scale,
@@ -174,6 +190,7 @@ class NCSNpp(nn.Module):
                 dnn.ResnetBlockBigGANppAdagnOne,
                 act=act,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 fir=self.fir,
                 fir_kernel=self.fir_kernel,
                 init_scale=init_scale,
@@ -187,7 +204,7 @@ class NCSNpp(nn.Module):
         if self.progressive_input != "none":
             input_pyramid_ch = channels
 
-        modules.append(Conv3x3(nf))
+        modules.append(Conv3x3(nf, dtype=self.dtype))
         hs_c = [nf]
         in_ch = nf
         for i_level in range(num_resolutions):
@@ -237,28 +254,32 @@ class NCSNpp(nn.Module):
                     if self.progressive == "output_skip":
                         modules.append(
                             nn.GroupNorm(
-                                num_groups=min(in_ch // 4, 32), epsilon=1e-6
+                                num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                                dtype=self.dtype,
                             )
                         )
-                        modules.append(Conv3x3(channels, init_scale=init_scale))
+                        modules.append(Conv3x3(channels, init_scale=init_scale, dtype=self.dtype))
                         pyramid_ch = channels
                     elif self.progressive == "residual":
                         modules.append(
                             nn.GroupNorm(
-                                num_groups=min(in_ch // 4, 32), epsilon=1e-6
+                                num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                                dtype=self.dtype,
                             )
                         )
-                        modules.append(Conv3x3(in_ch, use_bias=True))
+                        modules.append(Conv3x3(in_ch, use_bias=True, dtype=self.dtype))
                         pyramid_ch = in_ch
                 else:
                     if self.progressive == "output_skip":
                         modules.append(
                             nn.GroupNorm(
-                                num_groups=min(in_ch // 4, 32), epsilon=1e-6
+                                num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                                dtype=self.dtype,
                             )
                         )
                         modules.append(
-                            Conv3x3(channels, use_bias=True, init_scale=init_scale)
+                            Conv3x3(channels, use_bias=True,
+                                    init_scale=init_scale, dtype=self.dtype)
                         )
                         pyramid_ch = channels
                     elif self.progressive == "residual":
@@ -275,9 +296,10 @@ class NCSNpp(nn.Module):
 
         if self.progressive != "output_skip":
             modules.append(
-                nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6)
+                nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                             dtype=self.dtype)
             )
-            modules.append(Conv3x3(channels, init_scale=init_scale))
+            modules.append(Conv3x3(channels, init_scale=init_scale, dtype=self.dtype))
 
         self.all_modules = modules
 
@@ -321,6 +343,9 @@ class NCSNpp(nn.Module):
 
         if not self.centered:
             x = 2 * x - 1.0  # input in [0, 1]
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         # Downsampling
         input_pyramid = None
@@ -433,6 +458,7 @@ class NCSNpp(nn.Module):
 
         assert m_idx == len(modules)
 
+        h = h.astype(jnp.float32)
         if not self.not_use_tanh:
             return jnp.tanh(h)
         return h

@@ -34,6 +34,7 @@ class AdaptiveGroupNorm(nn.Module):
 
     num_groups: int
     style_dim: int  # kept for API clarity; inferred from input at call time
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +48,7 @@ class AdaptiveGroupNorm(nn.Module):
 
         s = nn.Dense(
             channels * 2,
+            dtype=self.dtype,
             kernel_init=dense_init(1.0),
             bias_init=style_bias_init,
             name="style",
@@ -57,6 +59,7 @@ class AdaptiveGroupNorm(nn.Module):
             epsilon=1e-6,
             use_bias=False,
             use_scale=False,
+            dtype=self.dtype,
             name="norm",
         )(x)
         return gamma[:, None, None, :] * out + beta[:, None, None, :]
@@ -91,10 +94,11 @@ class Combine(nn.Module):
 
     features: int
     method: str = "cat"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        h = Conv1x1(self.features, name="Conv_0")(x)
+        h = Conv1x1(self.features, dtype=self.dtype, name="Conv_0")(x)
         if self.method == "cat":
             return jnp.concatenate([h, y], axis=-1)
         elif self.method == "sum":
@@ -112,21 +116,28 @@ class AttnBlockpp(nn.Module):
 
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, hgt, wid, c = x.shape
-        h = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6, name="GroupNorm_0")(x)
-        q = NIN(c, name="NIN_0")(h)
-        k = NIN(c, name="NIN_1")(h)
-        v = NIN(c, name="NIN_2")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6,
+                         dtype=self.dtype, name="GroupNorm_0")(x)
+        q = NIN(c, dtype=self.dtype, name="NIN_0")(h)
+        k = NIN(c, dtype=self.dtype, name="NIN_1")(h)
+        v = NIN(c, dtype=self.dtype, name="NIN_2")(h)
 
-        w = jnp.einsum("bhwc,bijc->bhwij", q, k) * (int(c) ** (-0.5))
+        # logits accumulate and softmax in float32 regardless of dtype
+        w = jnp.einsum(
+            "bhwc,bijc->bhwij", q, k, preferred_element_type=jnp.float32
+        ) * (int(c) ** (-0.5))
         w = w.reshape(b, hgt, wid, hgt * wid)
         w = jax.nn.softmax(w, axis=-1)
-        w = w.reshape(b, hgt, wid, hgt, wid)
-        h = jnp.einsum("bhwij,bijc->bhwc", w, v)
-        h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
+        w = w.reshape(b, hgt, wid, hgt, wid).astype(v.dtype)
+        h = jnp.einsum(
+            "bhwij,bijc->bhwc", w, v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)
+        h = NIN(c, init_scale=self.init_scale, dtype=self.dtype, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h
         return (x + h) / np.sqrt(2.0)
@@ -145,6 +156,7 @@ class FirConv2d(nn.Module):
     down: bool = False
     resample_kernel: Sequence[int] = (1, 3, 3, 1)
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +167,9 @@ class FirConv2d(nn.Module):
             default_init(),
             (self.kernel, self.kernel, in_c, self.features),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         if self.up:
             out = resample.upsample_conv_2d(x, w, k=self.resample_kernel)
         elif self.down:
@@ -172,7 +187,7 @@ class FirConv2d(nn.Module):
             )
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.features,))
-            out = out + b.reshape(1, 1, 1, -1)
+            out = out + b.astype(out.dtype).reshape(1, 1, 1, -1)
         return out
 
 
@@ -183,6 +198,7 @@ class Upsample(nn.Module):
     with_conv: bool = False
     fir: bool = False
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -192,7 +208,7 @@ class Upsample(nn.Module):
             # nearest-neighbour 2x (F.interpolate 'nearest')
             out = resample.naive_upsample_2d(x, factor=2)
             if self.with_conv:
-                out = Conv3x3(out_ch, name="Conv_0")(out)
+                out = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(out)
         else:
             if not self.with_conv:
                 out = resample.upsample_2d(x, self.fir_kernel, factor=2)
@@ -203,6 +219,7 @@ class Upsample(nn.Module):
                     up=True,
                     resample_kernel=self.fir_kernel,
                     use_bias=True,
+                    dtype=self.dtype,
                     name="Conv2d_0",
                 )(x)
         return out
@@ -215,6 +232,7 @@ class Downsample(nn.Module):
     with_conv: bool = False
     fir: bool = False
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,7 +242,7 @@ class Downsample(nn.Module):
             if self.with_conv:
                 # F.pad (0,1,0,1) then stride-2 valid conv (layerspp.py:186-188)
                 x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                x = Conv3x3(out_ch, stride=2, padding=0, name="Conv_0")(x)
+                x = Conv3x3(out_ch, stride=2, padding=0, dtype=self.dtype, name="Conv_0")(x)
             else:
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         else:
@@ -237,6 +255,7 @@ class Downsample(nn.Module):
                     down=True,
                     resample_kernel=self.fir_kernel,
                     use_bias=True,
+                    dtype=self.dtype,
                     name="Conv2d_0",
                 )(x)
         return x
@@ -249,11 +268,13 @@ class _TembProj(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, temb: jnp.ndarray) -> jnp.ndarray:
         return nn.Dense(
             self.features,
+            dtype=self.dtype,
             kernel_init=default_init(),
             bias_init=jax.nn.initializers.zeros,
             name="dense",
@@ -269,6 +290,7 @@ class ResnetBlockDDPMppAdagn(nn.Module):
     dropout: float = 0.1
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -282,21 +304,21 @@ class ResnetBlockDDPMppAdagn(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(
-            AdaptiveGroupNorm(_num_groups(in_ch), 0, name="GroupNorm_0")(x, zemb)
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, dtype=self.dtype, name="GroupNorm_0")(x, zemb)
         )
-        h = Conv3x3(out_ch, name="Conv_0")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
-            h = h + _TembProj(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+            h = h + _TembProj(out_ch, dtype=self.dtype, name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(
-            AdaptiveGroupNorm(_num_groups(out_ch), 0, name="GroupNorm_1")(h, zemb)
+            AdaptiveGroupNorm(_num_groups(out_ch), 0, dtype=self.dtype, name="GroupNorm_1")(h, zemb)
         )
         h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
-        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype, name="Conv_1")(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = Conv3x3(out_ch, name="Conv_2")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, name="Conv_2")(x)
             else:
-                x = NIN(out_ch, name="NIN_0")(x)
+                x = NIN(out_ch, dtype=self.dtype, name="NIN_0")(x)
         if not self.skip_rescale:
             return x + h
         return (x + h) / np.sqrt(2.0)
@@ -314,6 +336,7 @@ class ResnetBlockBigGANppAdagn(nn.Module):
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -327,7 +350,7 @@ class ResnetBlockBigGANppAdagn(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(
-            AdaptiveGroupNorm(_num_groups(in_ch), 0, name="GroupNorm_0")(x, zemb)
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, dtype=self.dtype, name="GroupNorm_0")(x, zemb)
         )
         if self.up:
             if self.fir:
@@ -344,17 +367,17 @@ class ResnetBlockBigGANppAdagn(nn.Module):
                 h = resample.naive_downsample_2d(h, factor=2)
                 x = resample.naive_downsample_2d(x, factor=2)
 
-        h = Conv3x3(out_ch, name="Conv_0")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
-            h = h + _TembProj(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+            h = h + _TembProj(out_ch, dtype=self.dtype, name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(
-            AdaptiveGroupNorm(_num_groups(out_ch), 0, name="GroupNorm_1")(h, zemb)
+            AdaptiveGroupNorm(_num_groups(out_ch), 0, dtype=self.dtype, name="GroupNorm_1")(h, zemb)
         )
         h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
-        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype, name="Conv_1")(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = Conv1x1(out_ch, name="Conv_2")(x)
+            x = Conv1x1(out_ch, dtype=self.dtype, name="Conv_2")(x)
 
         if not self.skip_rescale:
             return x + h
@@ -373,6 +396,7 @@ class ResnetBlockBigGANppAdagnOne(nn.Module):
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -386,7 +410,7 @@ class ResnetBlockBigGANppAdagnOne(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(
-            AdaptiveGroupNorm(_num_groups(in_ch), 0, name="GroupNorm_0")(x, zemb)
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, dtype=self.dtype, name="GroupNorm_0")(x, zemb)
         )
         if self.up:
             if self.fir:
@@ -403,17 +427,17 @@ class ResnetBlockBigGANppAdagnOne(nn.Module):
                 h = resample.naive_downsample_2d(h, factor=2)
                 x = resample.naive_downsample_2d(x, factor=2)
 
-        h = Conv3x3(out_ch, name="Conv_0")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
-            h = h + _TembProj(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+            h = h + _TembProj(out_ch, dtype=self.dtype, name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(
-            nn.GroupNorm(num_groups=_num_groups(out_ch), epsilon=1e-6, name="GroupNorm_1")(h)
+            nn.GroupNorm(num_groups=_num_groups(out_ch), epsilon=1e-6, dtype=self.dtype, name="GroupNorm_1")(h)
         )
         h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
-        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype, name="Conv_1")(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = Conv1x1(out_ch, name="Conv_2")(x)
+            x = Conv1x1(out_ch, dtype=self.dtype, name="Conv_2")(x)
 
         if not self.skip_rescale:
             return x + h

@@ -67,12 +67,14 @@ class Dense(nn.Module):
     features: int
     init_scale: float = 1.0
     use_bias: bool = True
+    dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=dense_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
             name="linear",
@@ -88,6 +90,7 @@ class ConvLayer(nn.Module):
     padding: Any = 1
     use_bias: bool = True
     init_scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -100,6 +103,7 @@ class ConvLayer(nn.Module):
             strides=(self.stride, self.stride),
             padding=pad,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=dense_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
             name="conv",
@@ -115,6 +119,7 @@ class Conv3x3(nn.Module):
     dilation: int = 1
     init_scale: float = 1.0
     padding: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +130,7 @@ class Conv3x3(nn.Module):
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=default_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
             name="conv",
@@ -139,6 +145,7 @@ class Conv1x1(nn.Module):
     use_bias: bool = True
     init_scale: float = 1.0
     padding: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -148,6 +155,7 @@ class Conv1x1(nn.Module):
             strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=default_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
             name="conv",
@@ -163,6 +171,7 @@ class NIN(nn.Module):
 
     features: int
     init_scale: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -170,6 +179,8 @@ class NIN(nn.Module):
             "W", default_init(self.init_scale), (x.shape[-1], self.features)
         )
         b = self.param("b", jax.nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype)
         return jnp.tensordot(x, w, axes=1) + b
 
 

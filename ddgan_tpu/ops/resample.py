@@ -14,6 +14,33 @@ from jax import lax
 from .upfirdn2d import upfirdn2d
 
 
+def _pallas_fir_enabled() -> bool:
+    """Pallas path for the 2x separable FIR patterns (DDGAN_TPU_PALLAS_FIR
+    = '1' to enable).
+
+    MEASURED OFF by default: on v5e the XLA dilated-conv formulation runs
+    this op pair at ~416 GB/s vs ~218 GB/s for the current Pallas kernel
+    (the phase-split reshapes relayout in VMEM) — see bench_ops.py. The
+    kernels stay available and golden-tested for future tuning.
+    """
+    import os
+
+    return os.environ.get("DDGAN_TPU_PALLAS_FIR", "0") == "1"
+
+
+def _pallas_2x_ok(x, k1d) -> bool:
+    from . import pallas_upfirdn
+
+    n, h, w, c = x.shape
+    return (
+        len(k1d) == 4
+        and h % 2 == 0
+        and w % 2 == 0
+        and (c % 128 == 0 or c <= 512)
+        and pallas_upfirdn.fits_vmem(n, h, w, c, x.dtype)
+    )
+
+
 def setup_kernel(k) -> np.ndarray:
     """Normalize a 1-D (separable) or 2-D FIR kernel to sum 1.
 
@@ -47,6 +74,19 @@ def upsample_2d(x: jnp.ndarray, k=None, factor: int = 2, gain: float = 1.0) -> j
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1] * factor
+    k1d = np.asarray(k, np.float64)
+    if (
+        factor == 2
+        and k1d.ndim == 1
+        and _pallas_fir_enabled()
+        and _pallas_2x_ok(x, k1d)
+    ):
+        from .pallas_upfirdn import up2x
+
+        # separable: outer(k,k)/sum * gain*4 == outer(k', k') with
+        # k' = k/sum(k) * sqrt(gain)*2
+        k_sep = tuple((k1d / k1d.sum() * (gain**0.5) * factor).tolist())
+        return up2x(x, k_sep)
     k = setup_kernel(k) * (gain * (factor**2))
     p = k.shape[0] - factor
     return upfirdn2d(
@@ -62,6 +102,17 @@ def downsample_2d(x: jnp.ndarray, k=None, factor: int = 2, gain: float = 1.0) ->
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1] * factor
+    k1d = np.asarray(k, np.float64)
+    if (
+        factor == 2
+        and k1d.ndim == 1
+        and _pallas_fir_enabled()
+        and _pallas_2x_ok(x, k1d)
+    ):
+        from .pallas_upfirdn import down2x
+
+        k_sep = tuple((k1d / k1d.sum() * (gain**0.5)).tolist())
+        return down2x(x, k_sep)
     k = setup_kernel(k) * gain
     p = k.shape[0] - factor
     return upfirdn2d(x, jnp.asarray(k), down=factor, pad=((p + 1) // 2, p // 2))

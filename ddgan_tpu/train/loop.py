@@ -39,13 +39,18 @@ from .pso_step import make_pso_train_step
 
 def build_models(args):
     gen = NCSNpp.from_config(args)
+    dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+        str(getattr(args, "compute_dtype", "float32")), None
+    )
     if str(getattr(args, "disc_small", "yes")).lower() == "yes":
         disc = DiscriminatorSmall(
-            nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim
+            nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim,
+            dtype=dtype,
         )
     else:
         disc = DiscriminatorLarge(
-            nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim
+            nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim,
+            dtype=dtype,
         )
     return gen, disc
 

@@ -93,7 +93,10 @@ def make_train_step(
     """
 
     def apply_D(params_D, x, t, x_t):
-        return disc.apply({"params": params_D}, x, t, x_t).reshape(-1)
+        # head returns float32 already; keep losses in full precision
+        return disc.apply({"params": params_D}, x, t, x_t).reshape(-1).astype(
+            jnp.float32
+        )
 
     def apply_G(params_G, buffers_G, x, t, z, dropout_key):
         variables = {"params": params_G}
@@ -137,6 +140,7 @@ def make_train_step(
                 grad_real = jax.grad(
                     lambda xi: apply_D(params_D, xi, t, x_tp1).sum()
                 )(x_t)
+                grad_real = grad_real.astype(jnp.float32)
                 gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
                 return r1_gamma / 2.0 * gp
 
