@@ -108,8 +108,7 @@ class Luna16Dataset:
             raise FileNotFoundError("No volumes found in the specified directory.")
         for nii_path in nii_files:
             mask_path = os.path.join(self.mask_dir, os.path.split(nii_path)[-1])
-            mask = read_nifti(mask_path)
-            handled = self._bounds_from_mask(np.nonzero(mask))
+            handled = self._scan_mask(mask_path)
             if handled is None:
                 continue
             dx, dy, dz = handled
@@ -118,14 +117,35 @@ class Luna16Dataset:
                     for i in rng:
                         self.slice_info.append((nii_path, axis, int(i)))
 
+    def _scan_mask(self, mask_path):
+        """Nonzero bbox of a mask file; native slicecache fast path."""
+        try:
+            from .. import native
+
+            if native.available():
+                bbox = native.mask_bbox(mask_path)
+                if bbox is None:
+                    return None
+                return self._bounds_from_bbox(list(bbox[0]), list(bbox[1]))
+        except Exception:
+            pass
+        mask = read_nifti(mask_path)
+        return self._bounds_from_mask(np.nonzero(mask))
+
     def _bounds_from_mask(self, idx):
         """Nonzero bounding box expanded by bound_exp_lim. (custom.py:87-112)"""
-        shape = self.DATA_SHAPE
         if len(idx) < 3 or idx[0].size == 0:
             return None
-        lo = [int(idx[a].min()) for a in range(3)]
+        return self._bounds_from_bbox(
+            [int(idx[a].min()) for a in range(3)],
+            [int(idx[a].max()) for a in range(3)],
+        )
+
+    def _bounds_from_bbox(self, lo, hi_incl):
+        """lo/hi inclusive → expanded slice ranges (custom.py:87-112)."""
+        shape = self.DATA_SHAPE
         hi = [
-            int(idx[a].max()) + 1 if int(idx[a].max()) + 1 < shape[a] else int(idx[a].max())
+            hi_incl[a] + 1 if hi_incl[a] + 1 < shape[a] else hi_incl[a]
             for a in range(3)
         ]
         for a in range(3):

@@ -16,6 +16,7 @@ from .layers import (  # noqa: F401
     NIN,
     PixelNorm,
 )
+from . import legacy  # noqa: F401
 from .blocks import (  # noqa: F401
     AdaptiveGroupNorm,
     GaussianFourierProjection,

@@ -204,7 +204,13 @@ def train(args, dataset=None, mesh=None):
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
 
         if jax.process_index() == 0:
-            ckpt.save_content(exp_path, jax.device_get(state), args)
+            # save_content/save_content_every are parsed-but-ignored by the
+            # reference (always saves every epoch, ddgan.py:545-561); we
+            # implement the documented intent (SURVEY.md §7 quirks).
+            if bool(getattr(args, "save_content", True)) and (
+                epoch % max(1, int(getattr(args, "save_content_every", 1))) == 0
+            ):
+                ckpt.save_content(exp_path, jax.device_get(state), args)
             if epoch % args.save_ckpt_every == 0:
                 params = (
                     state.ema_G if (args.use_ema and state.ema_G is not None) else state.params_G

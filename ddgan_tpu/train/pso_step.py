@@ -78,7 +78,7 @@ def create_pso_train_state(
 def make_pso_train_step(
     gen, disc, coeff, pos_coeff, pso: AdaptivePSO,
     *, num_timesteps, nz, ema_decay, use_ema,
-    mesh: Mesh | None = None, axis_name: str = "data",
+    mesh: Mesh | None = None, axis_name: str = "data", donate: bool = True,
 ):
     def apply_D(params_D, x, t, x_t):
         return disc.apply({"params": params_D}, x, t, x_t).reshape(-1)
@@ -168,8 +168,12 @@ def make_pso_train_step(
         )
         return new_state, metrics
 
+    donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(functools.partial(local_step, coeff, pos_coeff))
+        return jax.jit(
+            functools.partial(local_step, coeff, pos_coeff),
+            donate_argnums=donate_argnums,
+        )
 
     sharded = shard_map(
         functools.partial(local_step, coeff, pos_coeff),
@@ -178,4 +182,6 @@ def make_pso_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate the state: params/opt/EMA buffers are updated in place in HBM
+    # instead of being copied every step
+    return jax.jit(sharded, donate_argnums=donate_argnums)

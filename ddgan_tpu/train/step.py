@@ -81,6 +81,7 @@ def make_train_step(
     mesh: Mesh | None = None,
     axis_name: str = "data",
     update_g: bool = True,
+    donate: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -206,8 +207,12 @@ def make_train_step(
         )
         return new_state, metrics
 
+    donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(functools.partial(local_step, coeff, pos_coeff))
+        return jax.jit(
+            functools.partial(local_step, coeff, pos_coeff),
+            donate_argnums=donate_argnums,
+        )
 
     sharded = shard_map(
         functools.partial(local_step, coeff, pos_coeff),
@@ -216,4 +221,6 @@ def make_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate the state: params/opt/EMA buffers are updated in place in HBM
+    # instead of being copied every step
+    return jax.jit(sharded, donate_argnums=donate_argnums)

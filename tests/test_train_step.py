@@ -54,6 +54,7 @@ def setup():
         r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
         ema_decay=cfg.ema_decay, use_ema=True,
         tx_g=tx_g, tx_d=tx_d, mesh=mesh,
+        donate=False,  # tests reuse the same state across calls
     )
     batch = shard_batch(
         mesh,
