@@ -57,6 +57,7 @@ class NCSNpp(nn.Module):
     n_mlp: int = 3
     centered: bool = True
     dtype: Any = None  # compute dtype for the conv/attn path (params f32)
+    use_remat: bool = False  # jax.checkpoint each ResBlock (256² configs)
 
     @classmethod
     def from_config(cls, config: Any) -> "NCSNpp":
@@ -67,6 +68,7 @@ class NCSNpp(nn.Module):
                  "bf16": _jnp.bfloat16}.get(dtype_name, None)
         return cls(
             dtype=dtype,
+            use_remat=bool(getattr(config, "use_remat", False)),
             nf=config.num_channels_dae,
             ch_mult=tuple(config.ch_mult),
             num_res_blocks=config.num_res_blocks,
@@ -198,6 +200,17 @@ class NCSNpp(nn.Module):
             )
         else:
             raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
+
+        if self.use_remat:
+            # rematerialize each ResBlock on the backward pass — trades
+            # FLOPs for HBM, the standard recipe for the 256² configs
+            # (CelebA-HQ/LSUN, readme.md:39-54) where activations dominate
+            # static_argnums: 0=module, 4=train (python bool controls
+            # dropout determinism and must stay static under remat)
+            ResnetBlock = functools.partial(
+                nn.remat(ResnetBlock.func, prevent_cse=False, static_argnums=(4,)),
+                **ResnetBlock.keywords,
+            )
 
         # Downsampling block (:174-210)
         channels = self.num_channels
@@ -357,7 +370,7 @@ class NCSNpp(nn.Module):
         num_resolutions = len(self.ch_mult)
         for i_level in range(num_resolutions):
             for i_block in range(self.num_res_blocks):
-                h = modules[m_idx](hs[-1], temb, zemb, train=train)
+                h = modules[m_idx](hs[-1], temb, zemb, train)
                 m_idx += 1
                 # resolution test: W axis (reference NCHW shape[-1] == W)
                 if h.shape[2] in self.attn_resolutions:
@@ -370,7 +383,7 @@ class NCSNpp(nn.Module):
                     h = modules[m_idx](hs[-1])
                     m_idx += 1
                 else:
-                    h = modules[m_idx](hs[-1], temb, zemb, train=train)
+                    h = modules[m_idx](hs[-1], temb, zemb, train)
                     m_idx += 1
 
                 if self.progressive_input == "input_skip":
@@ -388,11 +401,11 @@ class NCSNpp(nn.Module):
                 hs.append(h)
 
         h = hs[-1]
-        h = modules[m_idx](h, temb, zemb, train=train)
+        h = modules[m_idx](h, temb, zemb, train)
         m_idx += 1
         h = modules[m_idx](h)
         m_idx += 1
-        h = modules[m_idx](h, temb, zemb, train=train)
+        h = modules[m_idx](h, temb, zemb, train)
         m_idx += 1
 
         pyramid = None
@@ -401,7 +414,7 @@ class NCSNpp(nn.Module):
         for i_level in reversed(range(num_resolutions)):
             for i_block in range(self.num_res_blocks + 1):
                 h = modules[m_idx](
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb, train=train
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb, train
                 )
                 m_idx += 1
 
@@ -443,7 +456,7 @@ class NCSNpp(nn.Module):
                     h = modules[m_idx](h)
                     m_idx += 1
                 else:
-                    h = modules[m_idx](h, temb, zemb, train=train)
+                    h = modules[m_idx](h, temb, zemb, train)
                     m_idx += 1
 
         assert not hs

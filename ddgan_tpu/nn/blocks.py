@@ -298,7 +298,6 @@ class ResnetBlockDDPMppAdagn(nn.Module):
         x: jnp.ndarray,
         temb: jnp.ndarray | None = None,
         zemb: jnp.ndarray | None = None,
-        *,
         train: bool = False,
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
@@ -344,7 +343,6 @@ class ResnetBlockBigGANppAdagn(nn.Module):
         x: jnp.ndarray,
         temb: jnp.ndarray | None = None,
         zemb: jnp.ndarray | None = None,
-        *,
         train: bool = False,
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
@@ -404,7 +402,6 @@ class ResnetBlockBigGANppAdagnOne(nn.Module):
         x: jnp.ndarray,
         temb: jnp.ndarray | None = None,
         zemb: jnp.ndarray | None = None,
-        *,
         train: bool = False,
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
