@@ -161,3 +161,43 @@ def calculate_fid_given_paths(
 
 def save_statistics(path: str, mu: np.ndarray, sigma: np.ndarray) -> None:
     np.savez(path, mu=mu, sigma=sigma)
+
+
+def main(argv=None):
+    """Standalone FID CLI. (fid_score.py:72-83, :289-301)
+
+    python -m ddgan_tpu.eval.fid path/to/real path/to/fake
+    python -m ddgan_tpu.eval.fid --save-stats path/to/imgs stats.npz
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="FID between two paths")
+    p.add_argument("path", nargs=2, help="image dirs or .npz stats files")
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument("--dims", type=int, default=2048)
+    p.add_argument("--save-stats", action="store_true",
+                   help="compute stats of path[0] and write to path[1].npz")
+    p.add_argument("--resize", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from .inception import default_feature_fn
+
+    feature_fn = default_feature_fn(dims=args.dims)
+    if args.save_stats:
+        files = list_image_files(args.path[0])
+        mu, sigma = calculate_activation_statistics(
+            files, feature_fn, args.batch_size, args.dims, args.resize
+        )
+        save_statistics(args.path[1], mu, sigma)
+        print(f"stats saved to {args.path[1]}")
+        return None
+    fid = calculate_fid_given_paths(
+        args.path, args.batch_size, dims=args.dims,
+        feature_fn=feature_fn, resize=args.resize,
+    )
+    print("FID: ", fid)
+    return fid
+
+
+if __name__ == "__main__":
+    main()

@@ -45,9 +45,12 @@ def test_pso_trajectory_parity(const_uniform):
         velocity_clamp=(-1.0, 1.0), position_clamp=(-10.0, 10.0),
     )
 
+    # .copy(): on the CPU backend jnp.asarray zero-copies numpy VIEWS of
+    # torch storage — without the copy, torch's in-place gbest write into
+    # lin.weight would silently mutate these arrays mid-test.
     params = {
-        "w": jnp.asarray(lin.weight.detach().numpy()),
-        "b": jnp.asarray(lin.bias.detach().numpy()),
+        "w": jnp.asarray(lin.weight.detach().numpy().copy()),
+        "b": jnp.asarray(lin.bias.detach().numpy().copy()),
     }
     pso = AdaptivePSO(swarm_size=SWARM)
     state = pso.init(jax.random.PRNGKey(0), params)
