@@ -192,16 +192,23 @@ def train(args, dataset=None, mesh=None):
             else:
                 state, metrics = step_fn(state, batch, step_key, lr_g, lr_d)
 
-            loss_values_D.append(float(metrics.errD))
-            loss_values_G.append(float(metrics.errG))
+            # keep metrics as device arrays — forcing float() here would
+            # synchronize the host every iteration (costly through a
+            # remote-device tunnel); one batched device_get happens at
+            # epoch end
+            loss_values_D.append(metrics.errD)
+            loss_values_G.append(metrics.errG)
 
             if iteration % 100 == 0 and jax.process_index() == 0:
                 print(
                     f"Epoch {epoch + 1}, Iteration {iteration}, "
-                    f"G Loss: {loss_values_G[-1]:.8f}, D Loss: {loss_values_D[-1]:.8f}"
+                    f"G Loss: {float(metrics.errG):.8f}, "
+                    f"D Loss: {float(metrics.errD):.8f}"
                 )
 
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+        loss_values_D = [float(v) for v in jax.device_get(loss_values_D)]
+        loss_values_G = [float(v) for v in jax.device_get(loss_values_G)]
 
         if jax.process_index() == 0:
             # save_content/save_content_every are parsed-but-ignored by the
