@@ -180,6 +180,13 @@ def train(args, dataset=None, mesh=None):
             lr_g = cosine_lr(args.lr_g, epoch, args.num_epoch)
             lr_d = cosine_lr(args.lr_d, epoch, args.num_epoch)
 
+        profile_dir = getattr(args, "profile_dir", None)
+        if profile_dir and epoch == init_epoch and jax.process_index() == 0:
+            # optional observability: the reference has no tracing at all
+            # (SURVEY.md §5); this captures an XLA profile of the first
+            # epoch for TensorBoard / xprof
+            jax.profiler.start_trace(str(profile_dir))
+
         loss_values_D, loss_values_G = [], []
         epoch_t0 = time.perf_counter()
         for iteration, (x, _) in enumerate(loader):
@@ -209,6 +216,8 @@ def train(args, dataset=None, mesh=None):
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
         loss_values_D = [float(v) for v in jax.device_get(loss_values_D)]
         loss_values_G = [float(v) for v in jax.device_get(loss_values_G)]
+        if profile_dir and epoch == init_epoch and jax.process_index() == 0:
+            jax.profiler.stop_trace()
 
         if jax.process_index() == 0:
             # save_content/save_content_every are parsed-but-ignored by the
