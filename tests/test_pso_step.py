@@ -1,0 +1,71 @@
+"""PSO train-step protocol test: forward-only losses accumulate in the
+device-side ring buffer; the swarm update fires only once >20 losses have
+accumulated (ddgan.py:491-493/:513-515 protocol), params change only then;
+EMA steps every iteration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddgan_tpu.config import Config
+from ddgan_tpu.diffusion import DiffusionCoefficients, PosteriorCoefficients
+from ddgan_tpu.models import NCSNpp, DiscriminatorSmall
+from ddgan_tpu.parallel import make_mesh, replicate, shard_batch
+from ddgan_tpu.train.pso_optim import AdaptivePSO
+from ddgan_tpu.train.pso_step import create_pso_train_state, make_pso_train_step
+
+
+def test_pso_step_protocol():
+    cfg = Config(
+        image_size=8, num_channels=1, num_channels_dae=8, ch_mult=[1],
+        num_res_blocks=1, attn_resolutions=[4], nz=4, z_emb_dim=8, n_mlp=1,
+        t_emb_dim=8, ngf=4, num_timesteps=2, dropout=0.0, ema_decay=0.9,
+    )
+    gen = NCSNpp.from_config(cfg)
+    disc = DiscriminatorSmall(nc=2, ngf=4, t_emb_dim=8)
+    coeff = DiffusionCoefficients.create(2, cfg.beta_min, cfg.beta_max)
+    pos = PosteriorCoefficients.create(2, cfg.beta_min, cfg.beta_max)
+    pso = AdaptivePSO(swarm_size=20)
+    mesh = make_mesh()
+    state = create_pso_train_state(
+        jax.random.PRNGKey(0), gen, disc, pso, (8, 8, 1), 4, batch=2
+    )
+    state = replicate(mesh, state)
+    step = make_pso_train_step(
+        gen, disc, coeff, pos, pso,
+        num_timesteps=2, nz=4, ema_decay=0.9, use_ema=True, mesh=mesh,
+        donate=False,
+    )
+    batch = shard_batch(
+        mesh,
+        jnp.asarray(
+            np.random.RandomState(0)
+            .uniform(-1, 1, (16, 8, 8, 1))
+            .astype(np.float32)
+        ),
+    )
+    lr = jnp.asarray(0.0, jnp.float32)
+
+    def l2diff(a, b):
+        return sum(
+            float(jnp.sum((x - y) ** 2))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    params0 = state.params_G
+    s = state
+    for i in range(20):
+        s, m = step(s, batch, jax.random.PRNGKey(i), lr, lr)
+        assert np.isfinite(float(m.errD)) and np.isfinite(float(m.errG))
+    # 20 losses accumulated — not yet >20 → params untouched
+    assert int(s.buf_count_G) == 20
+    assert l2diff(params0, s.params_G) == 0.0
+    # EMA has stepped every iteration though (decays toward static params)
+    assert l2diff(s.ema_G, state.ema_G) >= 0.0
+
+    # 21st loss triggers the swarm step → params become gbest (≠ original)
+    s, m = step(s, batch, jax.random.PRNGKey(100), lr, lr)
+    assert int(s.buf_count_G) == 0  # buffer reset
+    assert l2diff(params0, s.params_G) > 0.0
+    assert float(s.pso_G.gbest_score) < float("inf")
