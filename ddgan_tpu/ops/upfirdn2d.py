@@ -105,10 +105,10 @@ def upfirdn2d(
 ) -> jnp.ndarray:
     """Fused upsample-FIR-downsample (NHWC). Public entry point.
 
-    Dispatches to the XLA dilated-conv formulation; a Pallas TPU kernel
-    backs the hot specializations (see ddgan_tpu.ops.pallas_upfirdn2d) —
-    both paths share these exact semantics and are property-tested against
-    each other.
+    Uses the XLA dilated-conv formulation (measured faster than the
+    hand-written Pallas kernels on v5e — see ops/resample.py dispatcher
+    and ddgan_tpu.ops.pallas_upfirdn for the gated Pallas 2x paths; both
+    share these exact semantics and are golden-tested against each other).
     """
     return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
 

@@ -96,3 +96,13 @@ def run_bash_command(command: str, stream_output: bool = False) -> str:
 
 def find_python_command() -> str:
     return sys.executable or "python"
+
+
+def install_package(package_name: str) -> None:
+    """Reference API parity (additionals/utilities.py:165-177). This
+    environment forbids runtime installs; surfaces the instruction
+    instead of silently shelling out to pip."""
+    print(
+        f"install_package('{package_name}'): runtime pip installs are "
+        "disabled in this environment; add the package to the image instead."
+    )
