@@ -7,4 +7,6 @@ from .torch_import import (  # noqa: F401
     strip_module_prefix,
     load_torch_netg,
     load_torch_content,
+    export_torch_state_dict,
+    save_torch_netg,
 )

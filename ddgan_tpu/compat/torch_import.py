@@ -185,3 +185,73 @@ def load_torch_content(path: str) -> dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Export: flax params → reference torch state_dict (inverse of the importer),
+# so checkpoints trained here remain loadable by the reference's
+# test_ddgan.py / pytorch tooling.
+def _invert_path(path: tuple) -> list[str]:
+    """flax path segments → torch dotted-key segments."""
+    parts: list[str] = []
+    for seg in path[:-1]:
+        if seg.startswith("all_modules_"):
+            parts.extend(["all_modules", seg[len("all_modules_"):]])
+        elif seg.startswith("z_transform_layers_"):
+            j = int(seg[len("z_transform_layers_"):])
+            parts.extend(["z_transform", str(2 * j + 1)])
+        elif seg == "dense0":
+            parts.extend(["main", "0"])
+        elif seg == "dense1":
+            parts.extend(["main", "2"])
+        elif seg in _WRAPPERS:
+            continue  # our wrapper level has no torch counterpart
+        else:
+            parts.append(seg)
+    return parts
+
+
+def _leaf_to_torch(leaf_name: str, arr: np.ndarray, parent: str):
+    """(torch leaf name, transformed array)."""
+    if leaf_name == "kernel":
+        if arr.ndim == 4:
+            return "weight", arr.transpose(3, 2, 0, 1)  # HWIO → OIHW
+        return "weight", arr.T
+    if leaf_name == "weight" and arr.ndim == 4:  # FirConv2d raw weight
+        return "weight", arr.transpose(3, 2, 0, 1)
+    if leaf_name == "scale":
+        return "weight", arr
+    return leaf_name, arr  # bias, W, b
+
+
+def export_torch_state_dict(params, buffers=None) -> dict:
+    """Convert flax (params, buffers) to a reference-named torch state_dict.
+
+    Values are torch tensors. Sequential-wrapper indices that the reference
+    inserts around bare convs in DownConvBlock (conv1.0.*, conv2.0.*,
+    skip.0.*) are reinstated for the discriminators.
+    """
+    import torch
+
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    if buffers:
+        flat.update(_flatten(jax.tree.map(np.asarray, buffers)))
+    out: dict[str, "torch.Tensor"] = {}
+    for path, arr in flat.items():
+        parts = _invert_path(path)
+        leaf, value = _leaf_to_torch(path[-1], np.asarray(arr, np.float32),
+                                     parts[-1] if parts else "")
+        # reference DownConvBlock wraps convs in 1-element Sequentials
+        # (discriminator.py:56-72)
+        if parts and parts[-1] in ("conv1", "conv2", "skip") and "all_modules" not in parts:
+            parts = parts + ["0"]
+        key = ".".join(parts + [leaf])
+        out[key] = torch.from_numpy(np.ascontiguousarray(value))
+    return out
+
+
+def save_torch_netg(path: str, params, buffers=None) -> None:
+    """Write a reference-format netG_{epoch}.pth loadable by test_ddgan.py."""
+    import torch
+
+    torch.save(export_torch_state_dict(params, buffers), path)

@@ -100,6 +100,16 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _make_batch(self, idx_chunk) -> tuple[np.ndarray, np.ndarray]:
+        # vectorized fast path: array-backed datasets (e.g. SyntheticDataset,
+        # preloaded tensors) gather the whole batch in one numpy indexing op
+        data = getattr(self.dataset, "data", None)
+        if (
+            isinstance(data, np.ndarray)
+            and data.dtype == np.float32
+            and getattr(self.dataset, "transform", None) is None
+        ):
+            idx = np.asarray(idx_chunk, dtype=np.int64)
+            return data[idx], np.ones(len(idx), dtype=np.int64)
         imgs, labels = [], []
         for i in idx_chunk:
             item = self.dataset[int(i)]

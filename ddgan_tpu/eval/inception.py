@@ -352,3 +352,45 @@ def default_feature_fn(dims: int = 2048, weights_path: str | None = None):
         return np.asarray(fn(jnp.asarray(batch)))
 
     return feature_fn
+
+
+# --------------------------------------------------------------------------
+# classifier head (Inception Score). FID drops fc; IS needs it.
+def load_fid_inception_logits_params(path: str | None = None) -> dict[str, np.ndarray]:
+    """Like load_fid_inception_params but keeps the 1008-way fc head
+    (the TF-FID checkpoint's classifier, used for Inception Score)."""
+    path = path or os.environ.get(DEFAULT_WEIGHTS_ENV)
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(
+            f"FID Inception weights not found (set {DEFAULT_WEIGHTS_ENV})."
+        )
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("AuxLogits.") or k.endswith("num_batches_tracked"):
+            continue
+        arr = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        if k.endswith(".conv.weight"):
+            arr = arr.transpose(2, 3, 1, 0)
+        out[k] = arr.astype(np.float32)
+    return out
+
+
+def default_logits_fn(weights_path: str | None = None):
+    """Jitted (B,H,W,C)∈[0,1] → (B, classes) logits for Inception Score."""
+    params = load_fid_inception_logits_params(weights_path)
+    fc_w = jnp.asarray(params.pop("fc.weight"))  # (classes, 2048)
+    fc_b = jnp.asarray(params.pop("fc.bias"))
+    model = InceptionV3FID(params, output_blocks=(3,))
+
+    @jax.jit
+    def logits(x):
+        feats = model.pool_features(x)
+        return feats @ fc_w.T + fc_b
+
+    def logits_fn(batch: np.ndarray) -> np.ndarray:
+        return np.asarray(logits(jnp.asarray(batch)))
+
+    return logits_fn
