@@ -45,7 +45,14 @@ def apply_lr(updates, lr):
 def cosine_lr(
     base_lr: float, epoch, num_epoch: int, eta_min: float = 1e-5
 ) -> jnp.ndarray:
-    """torch CosineAnnealingLR stepped once per epoch. (ddgan.py:312-313,:524-526)"""
+    """torch CosineAnnealingLR stepped once per epoch. (ddgan.py:312-313,:524-526)
+
+    num_epoch <= 0 returns base_lr: T_max=0 would divide by zero (NaN lr
+    poisoning every parameter after one step — torch raises there instead;
+    a 1-epoch run configured as num_epoch=0 should just use the base LR).
+    """
+    if num_epoch <= 0:
+        return jnp.asarray(base_lr, jnp.float32)
     t = jnp.minimum(jnp.asarray(epoch, jnp.float32), num_epoch)
     return eta_min + 0.5 * (base_lr - eta_min) * (
         1.0 + jnp.cos(math.pi * t / num_epoch)

@@ -123,3 +123,6 @@ def test_cosine_lr_matches_torch_schedule():
     assert abs(mid - (1e-5 + 0.5 * (base - 1e-5))) < 1e-9
     end = float(cosine_lr(base, 10, T))
     assert abs(end - 1e-5) < 1e-9
+    # num_epoch=0 (single-epoch runs): no division by zero, lr = base
+    assert abs(float(cosine_lr(base, 0, 0)) - base) < 1e-9
+    assert np.isfinite(float(cosine_lr(base, 0, 0)))
