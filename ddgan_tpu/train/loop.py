@@ -71,6 +71,8 @@ def train(args, dataset=None, mesh=None):
     """Run training. `args` is a Config or any attribute bag with the
     reference's schema. Returns the final TrainState."""
     is_pso = str(getattr(args, "kind_of_optim", "adam")).lower() == "pso"
+    # EMA disabled for decay <= 0, like the reference (ema.py:33 apply_ema)
+    use_ema = bool(args.use_ema) and float(args.ema_decay) > 0.0
 
     exp_path = Path("./saved_info/dd_gan") / str(args.dataset) / str(args.exp)
     exp_path.mkdir(parents=True, exist_ok=True)
@@ -129,23 +131,23 @@ def train(args, dataset=None, mesh=None):
         from .pso_step import create_pso_train_state
         state = create_pso_train_state(
             init_key, gen, disc, pso, image_shape, args.nz,
-            batch=min(args.batch_size, 2), use_ema=args.use_ema,
+            batch=min(args.batch_size, 2), use_ema=use_ema,
         )
         step_fn = make_pso_train_step(
             gen, disc, coeff, pos_coeff, pso,
             num_timesteps=args.num_timesteps, nz=args.nz,
-            ema_decay=args.ema_decay, use_ema=args.use_ema, mesh=mesh,
+            ema_decay=args.ema_decay, use_ema=use_ema, mesh=mesh,
         )
     else:
         state = create_train_state(
             init_key, gen, disc, tx_g, tx_d, image_shape, args.nz,
-            batch=min(args.batch_size, 2), use_ema=args.use_ema,
+            batch=min(args.batch_size, 2), use_ema=use_ema,
         )
         step_fn = make_train_step(
             gen, disc, coeff, pos_coeff,
             num_timesteps=args.num_timesteps, nz=args.nz,
             r1_gamma=args.r1_gamma, lazy_reg=args.lazy_reg,
-            ema_decay=args.ema_decay, use_ema=args.use_ema,
+            ema_decay=args.ema_decay, use_ema=use_ema,
             tx_g=tx_g, tx_d=tx_d, mesh=mesh,
         )
         d_only_step = None
@@ -154,7 +156,7 @@ def train(args, dataset=None, mesh=None):
                 gen, disc, coeff, pos_coeff,
                 num_timesteps=args.num_timesteps, nz=args.nz,
                 r1_gamma=args.r1_gamma, lazy_reg=args.lazy_reg,
-                ema_decay=args.ema_decay, use_ema=args.use_ema,
+                ema_decay=args.ema_decay, use_ema=use_ema,
                 tx_g=tx_g, tx_d=tx_d, mesh=mesh, update_g=False,
             )
 
@@ -229,7 +231,7 @@ def train(args, dataset=None, mesh=None):
                 ckpt.save_content(exp_path, jax.device_get(state), args)
             if epoch % args.save_ckpt_every == 0:
                 params = (
-                    state.ema_G if (args.use_ema and state.ema_G is not None) else state.params_G
+                    state.ema_G if (use_ema and state.ema_G is not None) else state.params_G
                 )
                 ckpt.save_netg(exp_path, epoch, jax.device_get(params),
                                jax.device_get(state.buffers_G))
