@@ -129,9 +129,14 @@ def train(args, dataset=None, mesh=None):
 
     if is_pso:
         from .pso_step import create_pso_train_state
+        # the EMA slot is ALWAYS allocated so the TrainState pytree
+        # structure never depends on flag values — resuming a checkpoint
+        # across an ema_decay change stays structurally compatible
+        # (the reference tolerates EMA-state absence via dict lookup,
+        # ddgan.py:408; a fixed pytree is the functional equivalent)
         state = create_pso_train_state(
             init_key, gen, disc, pso, image_shape, args.nz,
-            batch=min(args.batch_size, 2), use_ema=use_ema,
+            batch=min(args.batch_size, 2), use_ema=True,
         )
         step_fn = make_pso_train_step(
             gen, disc, coeff, pos_coeff, pso,
@@ -141,7 +146,7 @@ def train(args, dataset=None, mesh=None):
     else:
         state = create_train_state(
             init_key, gen, disc, tx_g, tx_d, image_shape, args.nz,
-            batch=min(args.batch_size, 2), use_ema=use_ema,
+            batch=min(args.batch_size, 2), use_ema=True,
         )
         step_fn = make_train_step(
             gen, disc, coeff, pos_coeff,

@@ -126,3 +126,38 @@ def test_cosine_lr_matches_torch_schedule():
     # num_epoch=0 (single-epoch runs): no division by zero, lr = base
     assert abs(float(cosine_lr(base, 0, 0)) - base) < 1e-9
     assert np.isfinite(float(cosine_lr(base, 0, 0)))
+
+
+def test_ema_disabled_leaves_shadow_frozen(setup):
+    """use_ema=False (the ema_decay<=0 gate): params move, the EMA slot
+    stays exactly at its initial values, and the pytree structure is
+    unchanged (resume-compatible across the flag)."""
+    from ddgan_tpu.diffusion import DiffusionCoefficients, PosteriorCoefficients
+
+    cfg, mesh, state, _, batch = setup
+    coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    tx = make_optimizer(0.5, 0.9, 0.0, 1.0)
+    gen = NCSNpp.from_config(cfg)
+    disc = DiscriminatorSmall(nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim)
+    step = make_train_step(
+        gen, disc, coeff, pos,
+        num_timesteps=cfg.num_timesteps, nz=cfg.nz,
+        r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
+        ema_decay=0.0, use_ema=False,
+        tx_g=tx, tx_d=tx, mesh=mesh, donate=False,
+    )
+    lr = jnp.asarray(1e-3, jnp.float32)
+    s1, _ = step(state, batch, jax.random.PRNGKey(9), lr, lr)
+    # params moved but the shadow did not
+    moved = sum(
+        float(jnp.sum((a - b) ** 2))
+        for a, b in zip(jax.tree.leaves(state.params_G), jax.tree.leaves(s1.params_G))
+    )
+    frozen = sum(
+        float(jnp.sum((a - b) ** 2))
+        for a, b in zip(jax.tree.leaves(state.ema_G), jax.tree.leaves(s1.ema_G))
+    )
+    assert moved > 0 and frozen == 0.0
+    # structure identical → checkpoints resume across the flag
+    assert jax.tree_util.tree_structure(state) == jax.tree_util.tree_structure(s1)
