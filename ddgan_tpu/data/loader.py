@@ -136,25 +136,43 @@ class DataLoader:
                 yield self._make_batch(ch)
             return
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # N worker threads pull batch indices from a task queue and deposit
+        # (index, batch) results; the consumer re-sequences them so output
+        # order is deterministic regardless of worker scheduling. All puts
+        # poll the stop event so an early consumer exit (limited_iter smoke
+        # runs) never leaves a worker blocked on a full queue.
+        tasks: queue.Queue = queue.Queue()
+        for i, ch in enumerate(chunks):
+            tasks.put((i, ch))
+        results: queue.Queue = queue.Queue(maxsize=max(self.prefetch, self.num_workers))
         stop = threading.Event()
 
         def worker():
-            try:
-                for ch in chunks:
-                    if stop.is_set():
-                        return
-                    q.put(self._make_batch(ch))
-            finally:
-                q.put(None)
+            while not stop.is_set():
+                try:
+                    i, ch = tasks.get_nowait()
+                except queue.Empty:
+                    return
+                item = (i, self._make_batch(ch))
+                while not stop.is_set():
+                    try:
+                        results.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(max(1, self.num_workers))
+        ]
+        for t in threads:
+            t.start()
+        pending: dict[int, tuple] = {}
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                yield item
+            for want in range(nb):
+                while want not in pending:
+                    i, batch = results.get()
+                    pending[i] = batch
+                yield pending.pop(want)
         finally:
             stop.set()

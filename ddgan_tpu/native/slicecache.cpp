@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstring>
 #include <list>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <unordered_map>
@@ -111,36 +112,51 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Volume& vol) {
 }
 
 // --------------------------------------------------------------- LRU cache
+// Entries are shared_ptr so a reader keeps its volume alive even if a
+// concurrent get() evicts it from the cache (use-after-free otherwise:
+// the slice/bbox work happens outside the lock).
 class VolumeCache {
   public:
     explicit VolumeCache(size_t capacity) : capacity_(capacity) {}
 
-    const Volume* get(const std::string& path) {
+    std::shared_ptr<const Volume> get(const std::string& path) {
+        {
+            std::lock_guard<std::mutex> lock(mu_);
+            auto it = map_.find(path);
+            if (it != map_.end()) {
+                order_.splice(order_.begin(), order_, it->second.second);
+                return it->second.first;
+            }
+        }
+        // decode OUTSIDE the lock (slow path; concurrent decodes of the
+        // same path are wasteful but correct — last insert wins)
+        std::vector<uint8_t> raw;
+        if (!read_file_maybe_gz(path, raw)) return nullptr;
+        auto vol = std::make_shared<Volume>();
+        if (!parse_nifti(raw, *vol)) return nullptr;
+
         std::lock_guard<std::mutex> lock(mu_);
         auto it = map_.find(path);
         if (it != map_.end()) {
             order_.splice(order_.begin(), order_, it->second.second);
-            return &it->second.first;
+            return it->second.first;
         }
-        std::vector<uint8_t> raw;
-        if (!read_file_maybe_gz(path, raw)) return nullptr;
-        Volume vol;
-        if (!parse_nifti(raw, vol)) return nullptr;
         order_.push_front(path);
-        auto res = map_.emplace(path, std::make_pair(std::move(vol), order_.begin()));
+        map_.emplace(path, std::make_pair(vol, order_.begin()));
         if (map_.size() > capacity_) {
             map_.erase(order_.back());
             order_.pop_back();
         }
-        return &res.first->second.first;
+        return vol;
     }
 
   private:
     size_t capacity_;
     std::mutex mu_;
     std::list<std::string> order_;
-    std::unordered_map<std::string,
-                       std::pair<Volume, std::list<std::string>::iterator>>
+    std::unordered_map<
+        std::string,
+        std::pair<std::shared_ptr<const Volume>, std::list<std::string>::iterator>>
         map_;
 };
 
@@ -158,7 +174,7 @@ extern "C" {
 
 // Returns 0 on success. dims_out: int64[3].
 int slicecache_volume_dims(const char* path, int64_t* dims_out) {
-    const Volume* v = cache().get(path);
+    auto v = cache().get(path);
     if (!v) return -1;
     dims_out[0] = v->dims[0];
     dims_out[1] = v->dims[1];
@@ -172,7 +188,7 @@ int slicecache_volume_dims(const char* path, int64_t* dims_out) {
 // the order they appear in (x,y,z)).
 int slicecache_read_slice_u8(const char* path, int axis, int64_t index,
                              uint8_t* out) {
-    const Volume* v = cache().get(path);
+    auto v = cache().get(path);
     if (!v) return -1;
     if (axis < 0 || axis > 2) return -2;
     const int64_t nx = v->dims[0], ny = v->dims[1], nz = v->dims[2];
@@ -202,7 +218,7 @@ int slicecache_read_slice_u8(const char* path, int axis, int64_t index,
 // Nonzero bounding box of a mask volume: lo[3], hi[3] (hi inclusive).
 // Returns 0 on success, 1 if the mask is empty.
 int slicecache_mask_bbox(const char* path, int64_t* lo, int64_t* hi) {
-    const Volume* v = cache().get(path);
+    auto v = cache().get(path);
     if (!v) return -1;
     const int64_t nx = v->dims[0], ny = v->dims[1], nz = v->dims[2];
     lo[0] = nx; lo[1] = ny; lo[2] = nz;

@@ -81,10 +81,12 @@ def _down2x_kernel(x_ref, out_ref, *, kvec):
 
 def _down2x_pallas(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
     """x: (N, H, W, C) with H, W even; k: 4-tap 1-D kernel (row of the
-    separable 2-D FIR)."""
+    separable 2-D FIR). upfirdn semantics are TRUE convolution, and the
+    kernel taps multiply xp[2i + t] — so the tap vector is the FLIPPED
+    kernel (matches upfirdn2d_ref's cross-correlation with flip(k))."""
     n, h, w, c = x.shape
     cb = _cb(c)
-    kvec = tuple(float(v) for v in np.asarray(k, np.float64))
+    kvec = tuple(float(v) for v in np.asarray(k, np.float64)[::-1])
     kernel = functools.partial(_down2x_kernel, kvec=kvec)
     return pl.pallas_call(
         kernel,
@@ -122,9 +124,11 @@ def _up2x_kernel(x_ref, out_ref, *, kvec):
 
 
 def _up2x_pallas(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+    """Polyphase taps derived for true convolution: with kf = flip(k),
+    out[2m] = kf[0] x[m-1] + kf[2] x[m]; out[2m+1] = kf[1] x[m] + kf[3] x[m+1]."""
     n, h, w, c = x.shape
     cb = _cb(c)
-    kvec = tuple(float(v) for v in np.asarray(k, np.float64))
+    kvec = tuple(float(v) for v in np.asarray(k, np.float64)[::-1])
     kernel = functools.partial(_up2x_kernel, kvec=kvec)
     return pl.pallas_call(
         kernel,

@@ -28,14 +28,21 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Place a host array onto the mesh, sharded along the batch axis.
+    """Place host data onto the mesh, sharded along the batch axis.
 
-    Replaces DistributedSampler + per-rank loaders (ddgan.py:245-254):
-    one global batch is split across devices on axis 0.
+    Replaces DistributedSampler + per-rank loaders (ddgan.py:245-254).
+    Single-process: the array IS the global batch, device_put splits it
+    over local devices. Multi-host: each process passes its HOST-LOCAL
+    shard (from the host-sharded DataLoader) and the global batch of
+    shape (local_batch * process_count, ...) is assembled from the
+    per-process pieces without any cross-host data movement.
     """
     def _put(x):
         spec = P(axis_name, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree.map(_put, batch)
 

@@ -201,7 +201,10 @@ def train(args, dataset=None, mesh=None):
                 break
             key, step_key = jax.random.split(key)
             batch = shard_batch(mesh, jnp.asarray(x))
-            if not is_pso and d_per_g > 1 and (iteration % d_per_g) != d_per_g - 1:
+            d_only = (
+                not is_pso and d_per_g > 1 and (iteration % d_per_g) != d_per_g - 1
+            )
+            if d_only:
                 state, metrics = d_only_step(state, batch, step_key, lr_g, lr_d)
             else:
                 state, metrics = step_fn(state, batch, step_key, lr_g, lr_d)
@@ -211,7 +214,8 @@ def train(args, dataset=None, mesh=None):
             # remote-device tunnel); one batched device_get happens at
             # epoch end
             loss_values_D.append(metrics.errD)
-            loss_values_G.append(metrics.errG)
+            if not d_only:  # d-only iterations have no G loss (errG=0 filler)
+                loss_values_G.append(metrics.errG)
 
             if iteration % 100 == 0 and jax.process_index() == 0:
                 print(

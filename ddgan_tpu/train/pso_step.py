@@ -91,11 +91,16 @@ def make_pso_train_step(
 
     def local_step(coeff_, pos_coeff_, state: PSOTrainState, real, key, lr_g, lr_d):
         del lr_g, lr_d  # PSO has no learning rate
+        # swarm-update keys MUST be identical on every device (the swarm
+        # state is replicated; per-device randomness would silently
+        # diverge params across shards) — derive them BEFORE folding in
+        # the device index, which only the per-shard data noise uses
+        key = jax.random.fold_in(key, state.step)
+        k_psod, k_psog, key = jax.random.split(key, 3)
         if mesh is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        key = jax.random.fold_in(key, state.step)
         (kd_t, kd_q, kd_z, kd_post, kd_drop,
-         kg_t, kg_q, kg_z, kg_post, kg_drop, k_psod, k_psog) = jax.random.split(key, 12)
+         kg_t, kg_q, kg_z, kg_post, kg_drop) = jax.random.split(key, 10)
         b = real.shape[0]
 
         # ---- D loss (forward only; ddgan.py:450-477 minus backward)

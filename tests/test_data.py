@@ -188,3 +188,28 @@ def test_make_dataset_synthetic():
     args = Config(dataset="synthetic", image_size=8, num_channels=1)
     ds = make_dataset(args)
     assert len(ds) == 256
+
+
+def test_loader_multiworker_order_and_early_exit():
+    """N>1 workers must emit batches in deterministic order, and an early
+    consumer exit (limited_iter) must not leave workers blocked."""
+    import threading
+    import time
+
+    ds = SyntheticDataset(n=128, image_size=8, num_channels=1)
+    ref = [b for b, _ in DataLoader(ds, batch_size=8, seed=3)]
+    l4 = DataLoader(ds, batch_size=8, seed=3, num_workers=4)
+    got = [b for b, _ in l4]
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    # early exit: consume 2 of 16 batches, then drop the iterator
+    before = threading.active_count()
+    it = iter(DataLoader(ds, batch_size=8, seed=3, num_workers=4, prefetch=2))
+    next(it), next(it)
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

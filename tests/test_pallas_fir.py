@@ -14,15 +14,16 @@ from ddgan_tpu.ops.pallas_upfirdn import down2x, up2x
 from ddgan_tpu.ops.upfirdn2d import upfirdn2d_ref
 
 FIR = np.array([1.0, 3.0, 3.0, 1.0])
+FIR_ASYM = np.array([1.0, 2.0, 3.0, 4.0])  # catches kernel-flip bugs
 
 
-def _k2d(gain=1.0, factor=1):
-    k = np.outer(FIR, FIR)
+def _k2d(gain=1.0, factor=1, fir=FIR):
+    k = np.outer(fir, fir)
     return jnp.asarray(k / k.sum() * gain * factor**2)
 
 
-def _k1d(gain=1.0, factor=1):
-    return tuple((FIR / FIR.sum() * (gain**0.5) * factor).tolist())
+def _k1d(gain=1.0, factor=1, fir=FIR):
+    return tuple((fir / fir.sum() * (gain**0.5) * factor).tolist())
 
 
 @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 16, 8, 128), (2, 4, 4, 5)])
@@ -94,3 +95,20 @@ def test_up2x_gradients_match_xla():
     g_p = jax.grad(f_pallas)(x)
     g_x = jax.grad(f_xla)(x)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("fir", [FIR, FIR_ASYM])
+def test_asymmetric_kernel_matches_xla(fir):
+    """upfirdn is TRUE convolution — asymmetric kernels expose tap-flip bugs."""
+    x = jnp.asarray(np.random.RandomState(9).randn(1, 8, 8, 3).astype(np.float32))
+    got_d = down2x(x, _k1d(fir=fir))
+    ref_d = upfirdn2d_ref(x, _k2d(fir=fir), up=1, down=2, pad=(1, 1))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-5, atol=1e-6)
+    got_u = up2x(x, _k1d(factor=2, fir=fir))
+    ref_u = upfirdn2d_ref(x, _k2d(factor=2, fir=fir), up=2, down=1, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), rtol=1e-5, atol=1e-6)
+
+    # gradients stay the adjoint of the same operator
+    ga = jax.grad(lambda v: (down2x(v, _k1d(fir=fir)) ** 2).sum())(x)
+    gb = jax.grad(lambda v: (upfirdn2d_ref(v, _k2d(fir=fir), up=1, down=2, pad=(1, 1)) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)

@@ -69,3 +69,14 @@ def test_pso_step_protocol():
     assert int(s.buf_count_G) == 0  # buffer reset
     assert l2diff(params0, s.params_G) > 0.0
     assert float(s.pso_G.gbest_score) < float("inf")
+
+    # swarm updates must stay REPLICATED across devices (the swarm keys
+    # must not fold in the device index) — run past a second fire and
+    # check every shard holds identical params and particles
+    for i in range(21):
+        s, _ = step(s, batch, jax.random.PRNGKey(200 + i), lr, lr)
+    for tree in (s.params_G, s.pso_G.particles):
+        leaf = jax.tree.leaves(tree)[0]
+        shards = [np.asarray(x.data) for x in leaf.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)
