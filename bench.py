@@ -79,14 +79,16 @@ def main():
     for i in range(3):
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k, lr_g, lr_d)
-    jax.block_until_ready(metrics)
+    _ = float(metrics.errD)
 
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k, lr_g, lr_d)
-    jax.block_until_ready(metrics)
+    # value fetch (not just block_until_ready) — a remote-device relay can
+    # ack readiness early, but it cannot fabricate the scalar's bytes
+    _ = float(metrics.errD)
     dt = time.perf_counter() - t0
 
     samples_per_sec_per_chip = global_batch * n_steps / dt / n_dev
