@@ -3,8 +3,9 @@
 Port of the TF-FID Inception variant (reference: pytorch_fid/inception.py —
 torchvision InceptionV3 with the FID-patched pooling blocks FIDInceptionA/
 C/E_1/E_2, inception.py:220-337): all in-block avg-pools use
-count_include_pad=False, and Mixed_7c's pool branch uses AVG instead of
-max (inception.py:311-337).
+count_include_pad=False, and Mixed_7c (FIDInceptionE_2) keeps a stride-1
+MAX pool in its pool branch — the TF-FID checkpoint's quirk that the
+patch deliberately preserves (inception.py:330-337).
 
 Weights: the standard `pt_inception-2015-12-05-6726825d.pth` state_dict
 imported via `load_fid_inception_params` (zero-egress: the file must exist
@@ -40,6 +41,9 @@ DEFAULT_WEIGHTS_ENV = "DDGAN_TPU_INCEPTION_PATH"
 # --------------------------------------------------------------------------
 # pooling helpers
 def _max_pool(x, window=3, stride=2, padding="VALID"):
+    if isinstance(padding, int):  # torch-style symmetric pad (pads with -inf)
+        p = padding
+        padding = ((0, 0), (p, p), (p, p), (0, 0))
     return lax.reduce_window(
         x, -jnp.inf, lax.max, (1, window, window, 1), (1, stride, stride, 1), padding
     )
@@ -154,8 +158,9 @@ def _inception_e(params, prefix, x, pool: str):
     )
     if pool == "avg_nopad":  # FIDInceptionE_1 (inception.py:281-309)
         bp = _avg_pool(x, 3, 1, 1, count_include_pad=False)
-    else:  # FIDInceptionE_2: max pool REPLACED by avg pool (inception.py:330-333)
-        bp = _avg_pool(x, 3, 1, 1, count_include_pad=True)
+    else:  # FIDInceptionE_2 KEEPS the stride-1 max pool — the TF-FID
+        # checkpoint's quirk, preserved by the patch (inception.py:330-337)
+        bp = _max_pool(x, 3, 1, padding=1)
     bp = c(prefix + ".branch_pool", bp)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -235,6 +240,23 @@ class InceptionV3FID:
 
 # --------------------------------------------------------------------------
 # weights
+def params_from_torch_state_dict(sd, keep_fc: bool = False) -> dict[str, np.ndarray]:
+    """Convert a fid_inception_v3-shaped torch state_dict (OIHW convs) to the
+    flat HWIO param dict this module consumes. AuxLogits and BN bookkeeping
+    are always dropped; fc.* kept only when keep_fc (Inception Score head)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("AuxLogits.") or k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith("fc.") and not keep_fc:
+            continue
+        arr = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        if k.endswith(".conv.weight"):
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+        out[k] = arr.astype(np.float32)
+    return out
+
+
 def load_fid_inception_params(path: str | None = None) -> dict[str, np.ndarray]:
     """Import pt_inception-2015-12-05 torch weights → HWIO param dict.
 
@@ -250,17 +272,7 @@ def load_fid_inception_params(path: str | None = None) -> dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    out: dict[str, np.ndarray] = {}
-    for k, v in sd.items():
-        if k.startswith(("fc.", "AuxLogits.")):
-            continue
-        arr = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-        if k.endswith(".conv.weight"):
-            arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
-        if k.endswith("num_batches_tracked"):
-            continue
-        out[k] = arr.astype(np.float32)
-    return out
+    return params_from_torch_state_dict(sd, keep_fc=False)
 
 
 def random_fid_inception_params(seed: int = 0) -> dict[str, np.ndarray]:
@@ -367,15 +379,7 @@ def load_fid_inception_logits_params(path: str | None = None) -> dict[str, np.nd
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    out: dict[str, np.ndarray] = {}
-    for k, v in sd.items():
-        if k.startswith("AuxLogits.") or k.endswith("num_batches_tracked"):
-            continue
-        arr = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-        if k.endswith(".conv.weight"):
-            arr = arr.transpose(2, 3, 1, 0)
-        out[k] = arr.astype(np.float32)
-    return out
+    return params_from_torch_state_dict(sd, keep_fc=True)
 
 
 def default_logits_fn(weights_path: str | None = None):

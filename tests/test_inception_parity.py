@@ -1,0 +1,98 @@
+"""Numeric parity of the Flax FID-InceptionV3 port vs a torch oracle.
+
+SURVEY §7 hard-part 6: "numerical drift here silently shifts FID, so validate
+activations against the torch model on a fixed image batch". Pretrained
+weights can't be downloaded (zero egress), so the oracle
+(tests/torch_inception_oracle.py — a torchvision-free rebuild of the
+reference's fid_inception_v3, /root/reference/pytorch_fid/inception.py:193-217
+with the four FID patches :220-337) runs with seeded random weights AND
+randomized BatchNorm running stats; its state_dict flows through the real
+`params_from_torch_state_dict` importer. Any wrong conv padding/stride, BN
+eps, pooling patch (incl. Mixed_7c's kept max pool), resize protocol, or
+weight-transpose in ddgan_tpu/eval/inception.py fails these tests.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from ddgan_tpu.eval.inception import InceptionV3FID, params_from_torch_state_dict
+
+from torch_inception_oracle import seeded_oracle
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return seeded_oracle(seed=0)
+
+
+@pytest.fixture(scope="module")
+def jax_params(oracle):
+    return params_from_torch_state_dict(oracle.state_dict(), keep_fc=True)
+
+
+def _rel_err(a, b):
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
+
+
+def test_all_blocks_parity_no_resize(oracle, jax_params):
+    """All 4 FID block activations, 128² input, resize disabled.
+
+    128² is the cheapest input that survives all stride reductions
+    (stem→59², pools→13², Mixed_7a→2²) on this 1-core host; every conv/BN/
+    pool in all 16 blocks is exercised."""
+    rng = np.random.RandomState(42)
+    x_nhwc = rng.rand(2, 128, 128, 3).astype(np.float32)
+    x_nchw = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy())
+
+    ref_outs = oracle.feature_blocks(x_nchw, resize_input=False)
+    params = {k: v for k, v in jax_params.items() if not k.startswith("fc.")}
+    model = InceptionV3FID(params, output_blocks=(0, 1, 2, 3), resize_input=False)
+    got_outs = model(np.asarray(x_nhwc))
+
+    assert len(ref_outs) == len(got_outs) == 4
+    for i, (ref, got) in enumerate(zip(ref_outs, got_outs)):
+        ref = ref.numpy().transpose(0, 2, 3, 1)  # NCHW → NHWC
+        got = np.asarray(got)
+        assert got.shape == ref.shape, f"block {i}: {got.shape} vs {ref.shape}"
+        err = _rel_err(got, ref)
+        assert err < 1e-4, f"block {i} activation mismatch: rel err {err:.2e}"
+
+
+def test_resize_and_normalize_protocol(oracle, jax_params):
+    """Input protocol (ref inception.py:155-162): bilinear 299² resize
+    (align_corners=False) then (0,1)→(−1,1). Checked on block 0 only (the
+    full 299² net is too slow for this 1-core host); the resize feeds every
+    downstream block identically."""
+    rng = np.random.RandomState(7)
+    x_nhwc = rng.rand(2, 64, 64, 3).astype(np.float32)
+    x_nchw = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy())
+
+    ref = oracle.feature_blocks(x_nchw, resize_input=True, last_block=0)[0]
+    params = {k: v for k, v in jax_params.items() if not k.startswith("fc.")}
+    model = InceptionV3FID(params, output_blocks=(0,), resize_input=True)
+    got = np.asarray(model(np.asarray(x_nhwc))[0])
+
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    assert got.shape == ref.shape
+    err = _rel_err(got, ref)
+    assert err < 1e-4, f"resize-path mismatch: rel err {err:.2e}"
+
+
+def test_logits_head_parity(oracle, jax_params):
+    """The 1008-way fc head used by Inception Score (feats @ W.T + b)."""
+    rng = np.random.RandomState(3)
+    x_nhwc = rng.rand(2, 128, 128, 3).astype(np.float32)
+    x_nchw = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy())
+
+    ref = oracle.logits(x_nchw, resize_input=False).numpy()
+
+    params = dict(jax_params)
+    fc_w = params.pop("fc.weight")
+    fc_b = params.pop("fc.bias")
+    model = InceptionV3FID(params, output_blocks=(3,), resize_input=False)
+    feats = np.asarray(model.pool_features(np.asarray(x_nhwc)))
+    got = feats @ fc_w.T + fc_b
+
+    err = _rel_err(got, ref)
+    assert err < 1e-4, f"logits mismatch: rel err {err:.2e}"
