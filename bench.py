@@ -81,7 +81,10 @@ def main():
         state, metrics = step(state, batch, k, lr_g, lr_d)
     _ = float(metrics.errD)
 
-    n_steps = 20
+    # a multiple of lazy_reg=15 so the timed window contains R1 steps at
+    # exactly the true 1/15 rate (warmup ends at global step 3; steps 15
+    # and 30 fall inside the 30-step window)
+    n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, k = jax.random.split(key)

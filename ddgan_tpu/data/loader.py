@@ -153,7 +153,13 @@ class DataLoader:
                     i, ch = tasks.get_nowait()
                 except queue.Empty:
                     return
-                item = (i, self._make_batch(ch))
+                try:
+                    item = (i, self._make_batch(ch))
+                except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                    # torch DataLoader re-raises worker errors in the main
+                    # process; swallowing one here would leave the consumer
+                    # blocked forever on this batch index
+                    item = (i, e)
                 while not stop.is_set():
                     try:
                         results.put(item, timeout=0.1)
@@ -172,6 +178,8 @@ class DataLoader:
             for want in range(nb):
                 while want not in pending:
                     i, batch = results.get()
+                    if isinstance(batch, BaseException):
+                        raise batch
                     pending[i] = batch
                 yield pending.pop(want)
         finally:

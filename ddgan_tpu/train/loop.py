@@ -34,7 +34,7 @@ from .optim import cosine_lr, make_optimizer
 from .state import TrainState, create_train_state
 from .step import make_train_step
 from .pso_optim import AdaptivePSO
-from .pso_step import make_pso_train_step
+from .pso_step import make_pso_train_step, make_pso_epoch_end, pad_epoch_losses
 
 
 def build_models(args):
@@ -81,16 +81,35 @@ def train(args, dataset=None, mesh=None):
 
     if dataset is None:
         dataset = make_dataset(args)
-    loader = DataLoader(
-        dataset,
-        batch_size=args.batch_size,
-        shuffle=True,
-        drop_last=True,
-        num_shards=jax.process_count(),
-        shard_id=jax.process_index(),
-        num_workers=getattr(args, "num_workers", 0),
-        seed=int(args.seed),
-    )
+    # args.batch_size means batch PER DEVICE, matching the reference's
+    # per-GPU recipes (readme.md:29 "batch 64/GPU" on 4 GPUs = global 256):
+    # each host loads batch_size × local_device_count and shard_batch then
+    # gives every chip exactly batch_size samples.
+    host_batch = int(args.batch_size) * jax.local_device_count()
+    try:
+        loader = DataLoader(
+            dataset,
+            batch_size=host_batch,
+            shuffle=True,
+            drop_last=True,
+            num_shards=jax.process_count(),
+            shard_id=jax.process_index(),
+            num_workers=getattr(args, "num_workers", 0),
+            seed=int(args.seed),
+        )
+        len(loader)  # force index/shard validation now, like torch's ctor
+    except Exception as e:
+        # fallback analog of ddgan.py:262-269: retry without the
+        # distributed sampler (here: without host sharding)
+        print("An error occurred when attempting to use the data loader:", e)
+        loader = DataLoader(
+            dataset,
+            batch_size=host_batch,
+            shuffle=True,
+            drop_last=True,
+            num_workers=getattr(args, "num_workers", 0),
+            seed=int(args.seed),
+        )
 
     gen, disc = build_models(args)
 
@@ -143,6 +162,7 @@ def train(args, dataset=None, mesh=None):
             num_timesteps=args.num_timesteps, nz=args.nz,
             ema_decay=args.ema_decay, use_ema=use_ema, mesh=mesh,
         )
+        pso_epoch_end = make_pso_epoch_end(pso)
     else:
         state = create_train_state(
             init_key, gen, disc, tx_g, tx_d, image_shape, args.nz,
@@ -227,6 +247,17 @@ def train(args, dataset=None, mesh=None):
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
         loss_values_D = [float(v) for v in jax.device_get(loss_values_D)]
         loss_values_G = [float(v) for v in jax.device_get(loss_values_G)]
+
+        if is_pso and loss_values_D:
+            # epoch-end swarm update with the epoch's loss lists
+            # (ddgan.py:528-533); also resets the in-epoch ring buffers
+            key, ekey = jax.random.split(key)
+            state = pso_epoch_end(
+                state,
+                replicate(mesh, jnp.asarray(pad_epoch_losses(loss_values_D, pso.swarm_size))),
+                replicate(mesh, jnp.asarray(pad_epoch_losses(loss_values_G, pso.swarm_size))),
+                replicate(mesh, ekey),
+            )
         if profile_dir and epoch == init_epoch and jax.process_index() == 0:
             jax.profiler.stop_trace()
 

@@ -213,3 +213,23 @@ def test_loader_multiworker_order_and_early_exit():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_loader_worker_error_propagates():
+    """A worker exception must re-raise in the consumer (torch DataLoader
+    semantics), not hang the results.get() re-sequencer forever."""
+
+    class BadDataset:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            if i == 13:
+                raise OSError("corrupt file")
+            return np.zeros((4, 4, 1), np.float32), 0
+
+    loader = DataLoader(BadDataset(), batch_size=4, shuffle=False,
+                        num_workers=2)
+    with pytest.raises(OSError, match="corrupt file"):
+        for _ in loader:
+            pass

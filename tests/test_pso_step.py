@@ -80,3 +80,44 @@ def test_pso_step_protocol():
         shards = [np.asarray(x.data) for x in leaf.addressable_shards]
         for sh in shards[1:]:
             np.testing.assert_array_equal(shards[0], sh)
+
+    # ---- epoch-end swarm update (ddgan.py:528-533): fires even when the
+    # in-step >20 trigger never did (short epochs), and resets the ring
+    # buffers. Without it, num_epoch=1 PSO-HPO configs with <21 iterations
+    # never move the params at all.
+    from ddgan_tpu.train.pso_step import make_pso_epoch_end, pad_epoch_losses
+
+    fresh = replicate(
+        mesh,
+        create_pso_train_state(
+            jax.random.PRNGKey(1), gen, disc, pso, (8, 8, 1), 4, batch=2
+        ),
+    )
+    params0 = fresh.params_G
+    sE = fresh
+    epoch_losses_d, epoch_losses_g = [], []
+    for i in range(5):  # a 5-iteration epoch — far short of the 21 trigger
+        sE, m = step(sE, batch, jax.random.PRNGKey(300 + i), lr, lr)
+        epoch_losses_d.append(float(m.errD))
+        epoch_losses_g.append(float(m.errG))
+    assert l2diff(params0, sE.params_G) == 0.0  # in-step trigger never fired
+
+    epoch_end = make_pso_epoch_end(pso)
+    ld = pad_epoch_losses(epoch_losses_d, pso.swarm_size)
+    lg = pad_epoch_losses(epoch_losses_g, pso.swarm_size)
+    assert ld.shape == (20,) and np.isinf(ld[5:]).all()  # +inf padding
+    sE = epoch_end(
+        sE,
+        replicate(mesh, jnp.asarray(ld)),
+        replicate(mesh, jnp.asarray(lg)),
+        replicate(mesh, jax.random.PRNGKey(400)),
+    )
+    assert l2diff(params0, sE.params_G) > 0.0  # params moved to gbest
+    assert int(sE.buf_count_G) == 0 and int(sE.buf_count_D) == 0
+    assert float(jnp.sum(jnp.abs(sE.loss_buf_G))) == 0.0  # buffers reset
+    assert float(sE.pso_G.gbest_score) < float("inf")
+    # replication invariant holds through the epoch-end path too
+    leaf = jax.tree.leaves(sE.params_G)[0]
+    shards = [np.asarray(x.data) for x in leaf.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)

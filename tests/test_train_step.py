@@ -161,3 +161,31 @@ def test_ema_disabled_leaves_shadow_frozen(setup):
     assert moved > 0 and frozen == 0.0
     # structure identical → checkpoints resume across the flag
     assert jax.tree_util.tree_structure(state) == jax.tree_util.tree_structure(s1)
+
+
+def test_per_device_batch_is_config_batch(monkeypatch, tmp_path):
+    """args.batch_size means batch PER DEVICE, matching the reference's
+    per-GPU recipes (readme.md:29): on this 8-device CPU mesh the loader
+    must be asked for batch_size x 8 per host so every chip sees exactly
+    batch_size samples. Guards the bench.py/train loop agreement
+    (bench.py global_batch = cfg.batch_size * n_dev)."""
+    from ddgan_tpu.train import loop as loop_mod
+
+    captured = {}
+    real_dl = loop_mod.DataLoader
+
+    def spy_dl(dataset, batch_size, **kw):
+        captured["host_batch"] = batch_size
+        return real_dl(dataset, batch_size, **kw)
+
+    monkeypatch.setattr(loop_mod, "DataLoader", spy_dl)
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(
+        dataset="synthetic", exp="bsem", image_size=8, num_channels=1,
+        num_channels_dae=8, ch_mult=[1], num_res_blocks=1,
+        attn_resolutions=[4], nz=4, z_emb_dim=8, n_mlp=1, t_emb_dim=8,
+        ngf=4, num_timesteps=2, batch_size=3, num_epoch=0, limited_iter=1,
+        dropout=0.0, lazy_reg=2, ema_decay=0.0, use_ema=False, seed=11,
+    )
+    loop_mod.train(cfg)
+    assert captured["host_batch"] == 3 * jax.local_device_count() == 24
