@@ -43,8 +43,9 @@ def sample_and_test(args):
     from functools import partial
 
     from ..config import Config
-    from ..diffusion import PosteriorCoefficients, sample_from_model
+    from ..diffusion import PosteriorCoefficients, make_sharded_sampler
     from ..models import NCSNpp
+    from ..parallel import make_mesh
     from ..train import checkpoint as ckpt
     from ..utils import save_image, to_range_0_1
 
@@ -99,16 +100,22 @@ def sample_and_test(args):
     def generator(x, t, z):
         return gen.apply(variables, x, t, z, train=False)
 
+    # batch_size is PER DEVICE (same semantics as training); generation is
+    # sharded over the same 1-D data mesh as the train step, so the FID set
+    # scales linearly with chips (single-process gathers to host for PNGs)
     batch_size = int(args.batch_size or cfg.batch_size)
+    mesh = make_mesh()
+    n_dev = mesh.size
+    sampler = make_sharded_sampler(
+        pos_coeff, generator, cfg.num_timesteps,
+        (cfg.image_size, cfg.image_size, cfg.num_channels), cfg.nz,
+        mesh, per_device_batch=batch_size,
+    )
 
-    def generate(n, key):
-        key, kx, ks = jax.random.split(key, 3)
-        x_init = jax.random.normal(
-            kx, (n, cfg.image_size, cfg.image_size, cfg.num_channels)
-        )
-        out = sample_from_model(
-            pos_coeff, generator, cfg.num_timesteps, x_init, ks, cfg.nz
-        )
+    def generate(key):
+        """One sharded call → (batch_size * n_dev, H, W, C) on host."""
+        key, ks = jax.random.split(key)
+        out = sampler(ks)
         return np.asarray(to_range_0_1(out)), key
 
     save_dir = Path(args.generated_samples_dir) / "generated_samples" / str(args.dataset)
@@ -118,11 +125,12 @@ def sample_and_test(args):
         if not os.path.exists(args.real_img_dir):
             raise FileNotFoundError(f"Real image directory {args.real_img_dir} not found.")
         total = int(args.num_fid_samples)
-        iters_needed = (total + batch_size - 1) // batch_size
+        per_call = batch_size * n_dev
+        iters_needed = (total + per_call - 1) // per_call
         index = 0
         for i in range(iters_needed):
-            n = min(batch_size, total - i * batch_size)
-            fake, key = generate(batch_size, key)
+            n = min(per_call, total - i * per_call)
+            fake, key = generate(key)
             fake = fake[:n]
             for x in fake:
                 if args.save_npy:
@@ -146,7 +154,8 @@ def sample_and_test(args):
             print(f"FID score saved to {args.fid_output_path}")
         return fid
     else:
-        fake, key = generate(batch_size, key)
+        fake, key = generate(key)
+        fake = fake[:batch_size]  # one per-device batch of samples, as before
         if args.save_npy:
             np.save("file.npy", fake.transpose(0, 3, 1, 2))
             print("file.npy")

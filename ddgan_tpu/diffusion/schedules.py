@@ -293,3 +293,45 @@ def sample_from_model(
     ts = jnp.arange(n_time - 1, -1, -1, dtype=jnp.int32)
     (x, _), _ = jax.lax.scan(step, (x_init, key), ts)
     return x
+
+
+def make_sharded_sampler(
+    coefficients: PosteriorCoefficients,
+    generator,
+    n_time: int,
+    image_shape: tuple[int, int, int],
+    nz: int,
+    mesh,
+    per_device_batch: int,
+    axis_name: str = "data",
+):
+    """Mesh-sharded batch generation: every device runs the T-step
+    `sample_from_model` scan on its own `per_device_batch` slice, so FID-set
+    generation scales linearly over the chips exactly like training does
+    (the reference evals on a single V100, test_ddgan.py:180-208 — here the
+    sampler rides the same 1-D data mesh as the train step).
+
+    Returns `sample(key) -> (n_devices * per_device_batch, H, W, C)` global
+    array. The key is replicated; each shard folds in its axis index, so
+    shard i's output is bit-identical to a single-device `sample_from_model`
+    run with `fold_in(key, i)` (tested on the 8-device CPU mesh).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    h, w, c = image_shape
+
+    def local_sample(coeff_, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        kx, ks = jax.random.split(key)
+        x_init = jax.random.normal(kx, (per_device_batch, h, w, c))
+        return sample_from_model(coeff_, generator, n_time, x_init, ks, nz)
+
+    sharded = shard_map(
+        partial(local_sample, coefficients),
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -99,3 +99,42 @@ def test_sampler_parity_t4():
     ours = np.asarray(x).transpose(0, 3, 1, 2)
 
     np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=5e-5)
+
+
+def test_sharded_sampler_matches_per_device_runs():
+    """Mesh-sharded generation (make_sharded_sampler, the test_ddgan FID
+    path): shard i's output must be bit-identical to a single-device
+    sample_from_model run with fold_in(key, i) — i.e. sharding changes the
+    work distribution, never the samples."""
+    from ddgan_tpu.diffusion import (
+        make_sharded_sampler,
+        sample_from_model,
+    )
+    from ddgan_tpu.parallel import make_mesh
+
+    pos = PosteriorCoefficients.create(4, 0.1, 20.0)
+    nz, hw, c, per_dev = 4, 8, 1, 2
+
+    def toy_generator(x, t, z):
+        # cheap stand-in with real (x, t, z) dependence
+        return jnp.tanh(x * 0.5 + z.mean(axis=1).reshape(-1, 1, 1, 1)
+                        - 0.01 * t.astype(x.dtype).reshape(-1, 1, 1, 1))
+
+    mesh = make_mesh()
+    n_dev = mesh.size
+    sampler = make_sharded_sampler(
+        pos, toy_generator, 4, (hw, hw, c), nz, mesh, per_device_batch=per_dev
+    )
+    key = jax.random.PRNGKey(123)
+    out = np.asarray(sampler(key))
+    assert out.shape == (per_dev * n_dev, hw, hw, c)
+    assert np.isfinite(out).all()
+
+    for i in range(n_dev):
+        ki = jax.random.fold_in(key, i)
+        kx, ks = jax.random.split(ki)
+        x_init = jax.random.normal(kx, (per_dev, hw, hw, c))
+        ref = np.asarray(
+            sample_from_model(pos, toy_generator, 4, x_init, ks, nz)
+        )
+        np.testing.assert_array_equal(out[i * per_dev:(i + 1) * per_dev], ref)
