@@ -61,6 +61,19 @@ def get_sigma_schedule(
 
     if use_geometric:
         var = var_func_geometric(t, beta_min, beta_max)
+        # Valid domain: the geometric VARIANCE schedule (ddgan.py:45-47)
+        # needs var(t) = beta_min*(beta_max/beta_min)**t < 1 on (0, 1] —
+        # i.e. beta_max < 1 — else alpha_bar goes non-positive and every
+        # coefficient downstream is NaN (sqrt of a negative). The reference
+        # propagates those NaNs silently; we fail loudly (fixed-to-intent,
+        # quirk-ledgered in STATUS.md).
+        if beta_max >= 1.0 or beta_min <= 0.0:
+            raise ValueError(
+                "use_geometric=True requires 0 < beta_min <= beta_max < 1 "
+                f"(got beta_min={beta_min}, beta_max={beta_max}); var(t)="
+                "beta_min*(beta_max/beta_min)**t must stay below 1 or the "
+                "schedule coefficients are NaN (ddgan.py:45-47)."
+            )
     else:
         var = var_func_vp(t, beta_min, beta_max)
     alpha_bars = 1.0 - var

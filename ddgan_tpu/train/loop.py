@@ -194,8 +194,18 @@ def train(args, dataset=None, mesh=None):
     state = replicate(mesh, state)
 
     limited = _limited_iter(args)
-    losses = []
     losses_file = exp_path / "losses.json"
+    # On resume, keep the pre-resume loss history (entries up to the resume
+    # epoch). The reference restarts losses=[] and overwrites the file,
+    # dropping earlier epochs (ddgan.py:571-586) — fixed to intent here,
+    # quirk-ledgered in STATUS.md.
+    losses = []
+    if init_epoch > 0 and losses_file.exists():
+        try:
+            with open(losses_file) as f:
+                losses = [e for e in json.load(f) if e.get("epoch", 0) <= init_epoch]
+        except (json.JSONDecodeError, OSError):
+            losses = []
     d_per_g = int(getattr(args, "d_updates_per_g_update", 1))
 
     for epoch in range(init_epoch, args.num_epoch + 1):

@@ -44,13 +44,25 @@ def torch_sigma_schedule(n_timestep, beta_min, beta_max, use_geometric=False):
 @pytest.mark.parametrize("T", [1, 2, 4])
 @pytest.mark.parametrize("geometric", [False, True])
 def test_sigma_schedule_matches_torch(T, geometric):
-    sig, a_s, betas = get_sigma_schedule(T, BETA_MIN, BETA_MAX, geometric)
-    tsig, ta_s, tbetas = torch_sigma_schedule(T, BETA_MIN, BETA_MAX, geometric)
+    # geometric requires beta_max < 1 (var(t) <= beta_max must stay
+    # below 1); the VP betas keep the reference's (0.1, 20) recipe
+    bmax = 0.9 if geometric else BETA_MAX
+    sig, a_s, betas = get_sigma_schedule(T, BETA_MIN, bmax, geometric)
+    tsig, ta_s, tbetas = torch_sigma_schedule(T, BETA_MIN, bmax, geometric)
     np.testing.assert_allclose(np.asarray(sig), tsig.numpy(), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a_s), ta_s.numpy(), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(betas), tbetas.numpy(), rtol=1e-6)
     assert betas.shape == (T + 1,)
     assert float(betas[0]) == pytest.approx(1e-8)
+    assert np.isfinite(np.asarray(betas)).all()  # no silent-NaN schedules
+
+
+def test_geometric_invalid_domain_raises():
+    """The reference silently yields NaN coefficients for geometric
+    schedules with beta_max >= 1 (ddgan.py:45-47 with the default
+    beta_max=20); we raise a loud ValueError instead (fixed-to-intent)."""
+    with pytest.raises(ValueError, match="use_geometric"):
+        get_sigma_schedule(4, BETA_MIN, BETA_MAX, use_geometric=True)
 
 
 def test_time_schedule():

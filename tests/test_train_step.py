@@ -189,3 +189,105 @@ def test_per_device_batch_is_config_batch(monkeypatch, tmp_path):
     )
     loop_mod.train(cfg)
     assert captured["host_batch"] == 3 * jax.local_device_count() == 24
+
+
+def test_bf16_matches_f32_trajectory():
+    """bf16 guardrail for the headline bench configuration
+    (__graft_entry__ compute_dtype='bfloat16'): from identical init/keys,
+    N steps of the fused train step in bf16 must track the f32 loss
+    trajectory within bf16 tolerance and stay finite throughout."""
+    base = tiny_cfg()
+    mesh = make_mesh()
+    batch = shard_batch(
+        mesh,
+        jnp.asarray(
+            np.random.RandomState(5)
+            .uniform(-1, 1, (16, base.image_size, base.image_size, base.num_channels))
+            .astype(np.float32)
+        ),
+    )
+
+    trajs = {}
+    for dtype_name in ("float32", "bfloat16"):
+        cfg = tiny_cfg()
+        cfg.compute_dtype = dtype_name
+        dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+        gen = NCSNpp.from_config(cfg)
+        disc = DiscriminatorSmall(
+            nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim,
+            dtype=dtype,
+        )
+        coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+        pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+        tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, 0.0, cfg.grad_clip_norm)
+        tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, 0.0, cfg.grad_clip_norm)
+        state = create_train_state(
+            jax.random.PRNGKey(0), gen, disc, tx_g, tx_d,
+            (cfg.image_size, cfg.image_size, cfg.num_channels), cfg.nz,
+            batch=2, use_ema=True,
+        )
+        # params must start IDENTICAL: both configs init in f32
+        state = replicate(mesh, state)
+        step = make_train_step(
+            gen, disc, coeff, pos,
+            num_timesteps=cfg.num_timesteps, nz=cfg.nz,
+            r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
+            ema_decay=cfg.ema_decay, use_ema=True,
+            tx_g=tx_g, tx_d=tx_d, mesh=mesh, donate=False,
+        )
+        lr = jnp.asarray(1e-3, jnp.float32)
+        traj = []
+        s = state
+        for i in range(6):
+            s, m = step(s, batch, jax.random.PRNGKey(100 + i), lr, lr)
+            errd, errg = float(m.errD), float(m.errG)
+            assert np.isfinite(errd) and np.isfinite(errg), (dtype_name, i)
+            traj.append((errd, errg))
+        # params stay finite too
+        for leaf in jax.tree.leaves(s.params_G) + jax.tree.leaves(s.params_D):
+            assert bool(jnp.isfinite(leaf).all()), dtype_name
+        trajs[dtype_name] = np.asarray(traj)
+
+    # bf16 has ~3 decimal digits; early-trajectory losses are O(1)
+    diff = np.abs(trajs["float32"] - trajs["bfloat16"]).max()
+    assert diff < 5e-2, f"bf16 trajectory diverged from f32: max |Δloss| = {diff}"
+
+
+def test_resume_e2e_continuity(monkeypatch, tmp_path):
+    """Resume E2E (ddgan.py:371-410): train 2 epochs, restart with
+    --resume, assert epoch/step/EMA/optimizer continuity and that
+    losses.json KEEPS pre-resume history (the reference overwrites it,
+    ddgan.py:571-586 — fixed to intent, STATUS.md quirk ledger)."""
+    import json as _json
+    from ddgan_tpu.train import loop as loop_mod
+
+    monkeypatch.chdir(tmp_path)
+    common = dict(
+        dataset="synthetic", exp="resume_e2e", image_size=8, num_channels=1,
+        num_channels_dae=8, ch_mult=[1], num_res_blocks=1,
+        attn_resolutions=[4], nz=4, z_emb_dim=8, n_mlp=1, t_emb_dim=8,
+        ngf=4, num_timesteps=2, batch_size=2, limited_iter=2, dropout=0.0,
+        lazy_reg=2, ema_decay=0.999, use_ema=True, seed=21,
+    )
+    s1 = loop_mod.train(Config(num_epoch=1, **common))  # epochs 0..1
+    exp_path = tmp_path / "saved_info/dd_gan/synthetic/resume_e2e"
+    assert (exp_path / "content.ckpt").exists()
+    losses_1 = _json.loads((exp_path / "losses.json").read_text())
+    assert [e["epoch"] for e in losses_1] == [1, 2]
+    steps_before = int(s1.step)
+    assert steps_before == 2 * 2  # 2 epochs x limited_iter=2
+
+    s2 = loop_mod.train(Config(num_epoch=3, resume=True, **common))
+    assert int(s2.epoch) == 4  # trained epochs 2..3 after resuming at 2
+    # step counter continued, not restarted
+    assert int(s2.step) == steps_before + 2 * 2
+    # optimizer state continued (Adam count tracks the step counter)
+    cnts = [int(x) for x in jax.tree.leaves(s2.opt_G)
+            if hasattr(x, "dtype") and x.dtype == jnp.int32 and x.ndim == 0]
+    assert any(c == int(s2.step) for c in cnts)
+    # EMA present and finite after resume
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(s2.ema_G))
+    # loss history preserved across the resume
+    losses_2 = _json.loads((exp_path / "losses.json").read_text())
+    assert [e["epoch"] for e in losses_2] == [1, 2, 3, 4]
+    assert losses_2[:2] == losses_1
