@@ -83,3 +83,26 @@ def test_prepare_and_cleanup(tmp_path, monkeypatch):
     cleanup_experiment(config, 42)
     assert not os.path.exists(path)
     assert not os.path.exists(exp_path)
+
+
+def _quadratic_eval(position, seed):
+    """Module-level (picklable) evaluator for the multiprocessing pool."""
+    return (position["lr"] - 0.03) ** 2 + (position["layers"] - 3) ** 2
+
+
+def test_pso_pool_backend_matches_sequential():
+    """The optional multiprocessing pool over particles (reference
+    pso.py:263-265): evaluation is deterministic in (position, seed), so
+    the pool backend must reach the same trajectory as sequential."""
+    space = {"lr": (0.001, 0.1), "layers": (1, 5), "step": {"layers": 1}}
+
+    def run(use_mp):
+        pso = PSO(space, _quadratic_eval, num_particles=3, num_iterations=2,
+                  seed=7, use_multiprocessing=use_mp)
+        best = pso.optimize()
+        return best, pso.global_best_score
+
+    best_seq, score_seq = run(False)
+    best_mp, score_mp = run(True)
+    assert score_mp == score_seq
+    assert best_mp == best_seq
