@@ -96,6 +96,90 @@ def upfirdn2d_ref(
     return out
 
 
+def _fir_matrix(n_in: int, up: int, down: int, p0: int, p1: int, taps) -> "np.ndarray":
+    """Banded operator matrix M (n_out, n_in) of 1-D upfirdn:
+    out[o] = sum_i M[o, i] * x[i], with M[o, i] = kf[i*up + p0 - o*down]
+    (kf = flipped kernel; entry 0 when the tap index is out of range)."""
+    import numpy as np
+
+    k = len(taps)
+    kf = np.asarray(taps, np.float64)[::-1]
+    n_out = (n_in * up + p0 + p1 - k) // down + 1
+    M = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        # t = i*up + p0 - o*down in [0, k) → i in [ceil((o*d - p0)/u), ...]
+        for i in range(n_in):
+            t = i * up + p0 - o * down
+            if 0 <= t < k:
+                M[o, i] = kf[t]
+    return M
+
+
+def _separable_factors(kernel) -> tuple["np.ndarray", "np.ndarray"] | None:
+    """Rank-1 (separable) factorization k2d = outer(ky, kx), or None.
+
+    DDGAN's FIR kernels are all built as outer products of a 1-D window
+    (up_or_down_sampling.py:186-193), so this always succeeds on the hot
+    paths; exact to fp tolerance via SVD."""
+    import numpy as np
+
+    k = np.asarray(kernel, np.float64)
+    if k.ndim != 2:
+        return None
+    u, s, vt = np.linalg.svd(k)
+    if s[0] == 0.0 or (len(s) > 1 and s[1] > 1e-10 * s[0]):
+        return None
+    ky = u[:, 0] * np.sqrt(s[0])
+    kx = vt[0] * np.sqrt(s[0])
+    if ky.sum() < 0:  # sign convention: positive-sum factors
+        ky, kx = -ky, -kx
+    return ky, kx
+
+
+def upfirdn2d_matmul(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    up=1,
+    down=1,
+    pad=(0, 0),
+) -> jnp.ndarray:
+    """Separable upfirdn2d as two banded MATMULS (MXU formulation).
+
+    out[n,ho,wo,c] = Σ_{hi,wi} Mh[ho,hi] · Mw[wo,wi] · x[n,hi,wi,c] — the
+    1-D up/filter/down pipelines become dense banded operator matrices
+    contracted on the MXU, instead of a strided depthwise conv on the VPU.
+    Exactly linear in x and built from dot_generals, so it differentiates
+    to arbitrary order (R1 grad-of-grad safe). Falls back to the dilated
+    conv for non-separable kernels.
+    """
+    import numpy as np
+
+    try:  # kernel must be concrete (host constant) to factorize
+        factors = _separable_factors(np.asarray(kernel))
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        factors = None
+    if factors is None:
+        return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
+    ky, kx = factors
+    up_y, up_x = _as_pair(up)
+    down_y, down_x = _as_pair(down)
+    if len(pad) == 2:
+        pad_x0, pad_x1 = int(pad[0]), int(pad[1])
+        pad_y0, pad_y1 = int(pad[0]), int(pad[1])
+    else:
+        pad_x0, pad_x1, pad_y0, pad_y1 = (int(p) for p in pad)
+
+    n, h, w, c = x.shape
+    Mh = jnp.asarray(_fir_matrix(h, up_y, down_y, pad_y0, pad_y1, ky), x.dtype)
+    Mw = jnp.asarray(_fir_matrix(w, up_x, down_x, pad_x0, pad_x1, kx), x.dtype)
+    # contract H then W; (w*c) resp. (n*h_out) ride the MXU lanes
+    tmp = jnp.einsum("oh,nhwc->nowc", Mh, x,
+                     preferred_element_type=x.dtype)
+    out = jnp.einsum("pw,nowc->nopc", Mw, tmp,
+                     preferred_element_type=x.dtype)
+    return out
+
+
 def upfirdn2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -105,12 +189,16 @@ def upfirdn2d(
 ) -> jnp.ndarray:
     """Fused upsample-FIR-downsample (NHWC). Public entry point.
 
-    Uses the XLA dilated-conv formulation (measured faster than the
-    hand-written Pallas kernels on v5e — see ops/resample.py dispatcher
-    and ddgan_tpu.ops.pallas_upfirdn for the gated Pallas 2x paths; both
-    share these exact semantics and are golden-tested against each other).
+    Dispatch (measured on v5e, bench_ops.py chained-roundtrip timing):
+    separable kernels take the banded-MATMUL MXU formulation
+    (204 vs 128 GB/s for conv at the (64,32,32,128) up/down roundtrip,
+    ties at smaller shapes); non-separable or traced kernels fall back to
+    the dilated-conv formulation. The hand-written Pallas polyphase
+    kernels lose to both (87-160 GB/s) and live in ops/pallas_upfirdn
+    gated off by default. All three share these exact semantics and are
+    golden-tested against each other and the torch reference.
     """
-    return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
+    return upfirdn2d_matmul(x, kernel, up=up, down=down, pad=pad)
 
 
 def upfirdn2d_nchw(x, kernel, up=1, down=1, pad=(0, 0)):
