@@ -22,7 +22,12 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC_PER_GPU = 130.0
 
 
-def main():
+def build_flagship_step():
+    """Construct the flagship (paper-recipe) fused train step.
+
+    Returns (step, state, batch, key, lr_g, lr_d, cfg, mesh, n_dev) — shared
+    by the throughput bench below and tools/profile_step.py's xprof capture.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +78,14 @@ def main():
     )
     lr_g = jnp.asarray(cfg.lr_g, jnp.float32)
     lr_d = jnp.asarray(cfg.lr_d, jnp.float32)
+    return step, state, batch, key, lr_g, lr_d, cfg, mesh, n_dev
+
+
+def main():
+    import jax
+
+    step, state, batch, key, lr_g, lr_d, cfg, mesh, n_dev = build_flagship_step()
+    global_batch = cfg.batch_size * n_dev  # 64/chip, paper recipe
 
     # warmup (compile both R1 branches: lazy_reg=15, so run >= 16 steps
     # would be wasteful — the cond compiles both branches into one program)

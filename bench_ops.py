@@ -24,7 +24,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ddgan_tpu.ops.pallas_upfirdn import down2x, up2x, fits_vmem
+    from ddgan_tpu.ops.experimental.pallas_upfirdn import down2x, up2x, fits_vmem
     from ddgan_tpu.ops.upfirdn2d import upfirdn2d_matmul, upfirdn2d_ref
 
     fir = np.array([1.0, 3.0, 3.0, 1.0])

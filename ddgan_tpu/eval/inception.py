@@ -276,13 +276,22 @@ def load_fid_inception_params(path: str | None = None) -> dict[str, np.ndarray]:
 
 
 def random_fid_inception_params(seed: int = 0) -> dict[str, np.ndarray]:
-    """Correctly-shaped random params (pipeline tests without real weights)."""
+    """Correctly-shaped random params (pipeline tests without real weights).
+
+    He-initialized (std = sqrt(2/fan_in)): with the BN running stats fixed
+    at (0, 1), conservative 1/sqrt(fan_in) scaling decays activation
+    variance ~0.8x per ReLU layer — after the 94-conv trunk the pool3
+    features collapse to ~1e-9 and carry no image information (every FID
+    degenerates to ~0). He scaling keeps variance O(1) through ReLU, so
+    the random-feature space actually discriminates distributions.
+    """
     rng = np.random.RandomState(seed)
     params: dict[str, np.ndarray] = {}
 
     def conv(prefix, cin, cout, kh, kw):
         params[prefix + ".conv.weight"] = (
-            rng.randn(kh, kw, cin, cout).astype(np.float32) * (1.0 / np.sqrt(cin * kh * kw))
+            rng.randn(kh, kw, cin, cout).astype(np.float32)
+            * np.sqrt(2.0 / (cin * kh * kw))
         )
         params[prefix + ".bn.weight"] = np.ones(cout, np.float32)
         params[prefix + ".bn.bias"] = np.zeros(cout, np.float32)
@@ -353,10 +362,32 @@ def random_fid_inception_params(seed: int = 0) -> dict[str, np.ndarray]:
     return params
 
 
+RANDOM_WEIGHTS_ENV = "DDGAN_TPU_INCEPTION_RANDOM"
+
+
 def default_feature_fn(dims: int = 2048, weights_path: str | None = None):
-    """Jitted (B,H,W,C)∈[0,1] → (B, dims) feature function for FID."""
+    """Jitted (B,H,W,C)∈[0,1] → (B, dims) feature function for FID.
+
+    Zero-egress fallback: if the pretrained checkpoint is unavailable,
+    setting DDGAN_TPU_INCEPTION_RANDOM=<seed> uses seeded random Inception
+    weights instead. The resulting "FID" is the Fréchet distance in a fixed
+    random-feature space — self-consistent across runs with the same seed
+    (valid for trend/ablation comparisons) but NOT comparable to published
+    FID numbers; a loud warning is printed.
+    """
     block = BLOCK_INDEX_BY_DIM[dims]
-    params = load_fid_inception_params(weights_path)
+    rand_seed = os.environ.get(RANDOM_WEIGHTS_ENV)
+    if rand_seed is not None and not (
+        weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)
+    ):
+        print(
+            "WARNING: using RANDOM Inception weights "
+            f"({RANDOM_WEIGHTS_ENV}={rand_seed}); scores are random-feature "
+            "Fréchet distances, not comparable to published FID."
+        )
+        params = random_fid_inception_params(int(rand_seed))
+    else:
+        params = load_fid_inception_params(weights_path)
     model = InceptionV3FID(params, output_blocks=(block,))
     fn = jax.jit(lambda x: model.pool_features(x))
 

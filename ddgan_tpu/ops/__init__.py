@@ -9,12 +9,9 @@ from .resample import (
     upsample_conv_2d,
 )
 from .upfirdn2d import upfirdn2d, upfirdn2d_ref
-from .pallas_upfirdn import down2x as pallas_down2x, up2x as pallas_up2x
 
 __all__ = [
     "fused_leaky_relu",
-    "pallas_down2x",
-    "pallas_up2x",
     "upfirdn2d",
     "upfirdn2d_ref",
     "setup_kernel",

@@ -151,7 +151,7 @@ def _up2x_pallas(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
 # differentiable wrappers: VJP = transposed FIR via the XLA dispatcher
 # (itself differentiable → R1 grad-of-grad works)
 def _xla_upfirdn(x, kernel2d, up, down, pad):
-    from .upfirdn2d import upfirdn2d_ref
+    from ..upfirdn2d import upfirdn2d_ref
 
     return upfirdn2d_ref(x, kernel2d, up=up, down=down, pad=pad)
 

@@ -18,10 +18,11 @@ def _pallas_fir_enabled() -> bool:
     """Pallas path for the 2x separable FIR patterns (DDGAN_TPU_PALLAS_FIR
     = '1' to enable).
 
-    MEASURED OFF by default: on v5e the XLA dilated-conv formulation runs
-    this op pair at ~416 GB/s vs ~218 GB/s for the current Pallas kernel
-    (the phase-split reshapes relayout in VMEM) — see bench_ops.py. The
-    kernels stay available and golden-tested for future tuning.
+    MEASURED OFF by default: on v5e the default banded-matmul/dilated-conv
+    formulations beat the hand-written Pallas kernels (204/128 vs
+    87-160 GB/s, chained-roundtrip timing — see bench_ops.py and
+    ops/experimental/__init__.py). The kernels live under ops/experimental
+    and stay golden-tested for future tuning.
     """
     import os
 
@@ -29,7 +30,7 @@ def _pallas_fir_enabled() -> bool:
 
 
 def _pallas_2x_ok(x, k1d) -> bool:
-    from . import pallas_upfirdn
+    from .experimental import pallas_upfirdn
 
     n, h, w, c = x.shape
     return (
@@ -81,7 +82,7 @@ def upsample_2d(x: jnp.ndarray, k=None, factor: int = 2, gain: float = 1.0) -> j
         and _pallas_fir_enabled()
         and _pallas_2x_ok(x, k1d)
     ):
-        from .pallas_upfirdn import up2x
+        from .experimental.pallas_upfirdn import up2x
 
         # separable: outer(k,k)/sum * gain*4 == outer(k', k') with
         # k' = k/sum(k) * sqrt(gain)*2
@@ -109,7 +110,7 @@ def downsample_2d(x: jnp.ndarray, k=None, factor: int = 2, gain: float = 1.0) ->
         and _pallas_fir_enabled()
         and _pallas_2x_ok(x, k1d)
     ):
-        from .pallas_upfirdn import down2x
+        from .experimental.pallas_upfirdn import down2x
 
         k_sep = tuple((k1d / k1d.sum() * (gain**0.5)).tolist())
         return down2x(x, k_sep)

@@ -194,7 +194,7 @@ def upfirdn2d(
     (204 vs 128 GB/s for conv at the (64,32,32,128) up/down roundtrip,
     ties at smaller shapes); non-separable or traced kernels fall back to
     the dilated-conv formulation. The hand-written Pallas polyphase
-    kernels lose to both (87-160 GB/s) and live in ops/pallas_upfirdn
+    kernels lose to both (87-160 GB/s) and live in ops/experimental/pallas_upfirdn
     gated off by default. All three share these exact semantics and are
     golden-tested against each other and the torch reference.
     """

@@ -82,6 +82,41 @@ def test_inception_score_bounds():
     assert abs(mean_oh - c) < 0.5
 
 
+def test_random_feature_space_discriminates(tmp_path, monkeypatch):
+    """Zero-egress fallback (DDGAN_TPU_INCEPTION_RANDOM): the He-init
+    random feature space must separate distributions — FID(real-ish vs
+    same dist) << FID(real-ish vs noise). Guards against the r2 bug where
+    1/sqrt(fan_in) init collapsed deep activations to ~1e-9 and every FID
+    degenerated to ~0 (tools/quality_e2e.py relies on this signal)."""
+    from ddgan_tpu.eval.inception import default_feature_fn
+
+    monkeypatch.setenv("DDGAN_TPU_INCEPTION_RANDOM", "0")
+    monkeypatch.delenv("DDGAN_TPU_INCEPTION_PATH", raising=False)
+    feature_fn = default_feature_fn(dims=2048)
+
+    rng = np.random.RandomState(0)
+
+    def blobs(n, shift=0.0):
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 31.0
+        out = []
+        for _ in range(n):
+            cy, cx = rng.uniform(0.3, 0.7, size=2)
+            img = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / 0.02))
+            out.append(np.clip(np.stack([img] * 3, -1) + shift, 0, 1))
+        return np.stack(out)
+
+    a, b = blobs(24), blobs(24)
+    noise = rng.rand(24, 32, 32, 3).astype(np.float32)
+    fa = feature_fn(a)
+    assert np.isfinite(fa).all() and fa.std() > 1e-3  # features carry signal
+    mu_a, s_a = fa.mean(0), np.cov(fa, rowvar=False)
+    fb = feature_fn(b)
+    fn_ = feature_fn(noise)
+    same = calculate_frechet_distance(mu_a, s_a, fb.mean(0), np.cov(fb, rowvar=False))
+    diff = calculate_frechet_distance(mu_a, s_a, fn_.mean(0), np.cov(fn_, rowvar=False))
+    assert diff > 5.0 * same, (same, diff)
+
+
 def test_fid_inception_forward_shapes():
     """Random-weight FID Inception: correct feature dims per block."""
     params = random_fid_inception_params()

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ddgan_tpu.ops import resample
-from ddgan_tpu.ops.pallas_upfirdn import down2x, up2x
+from ddgan_tpu.ops.experimental.pallas_upfirdn import down2x, up2x
 from ddgan_tpu.ops.upfirdn2d import upfirdn2d_ref
 
 FIR = np.array([1.0, 3.0, 3.0, 1.0])
