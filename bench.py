@@ -31,8 +31,12 @@ def build_flagship_step():
     import jax
     import jax.numpy as jnp
 
+    # the flagship step takes minutes to compile on the remote chip; cache
+    # the executable across bench/profile invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from ddgan_tpu.diffusion import DiffusionCoefficients, PosteriorCoefficients
-    from ddgan_tpu.models import NCSNpp, DiscriminatorSmall
     from ddgan_tpu.parallel import make_mesh, replicate, shard_batch
     from ddgan_tpu.train import create_train_state, make_train_step, make_optimizer
     from __graft_entry__ import _flagship_config
@@ -41,10 +45,9 @@ def build_flagship_step():
     n_dev = len(jax.devices())
     mesh = make_mesh()
 
-    gen = NCSNpp.from_config(cfg)
-    disc = DiscriminatorSmall(
-        nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim
-    )
+    from ddgan_tpu.train.loop import build_models
+
+    gen, disc = build_models(cfg)  # honors cfg.compute_dtype for BOTH nets
     coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
     pos_coeff = PosteriorCoefficients.create(
         cfg.num_timesteps, cfg.beta_min, cfg.beta_max

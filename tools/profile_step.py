@@ -6,17 +6,23 @@ XLA cost analysis, not a profile. This tool produces the real evidence:
 
   1. builds the paper-recipe fused train step (bench.build_flagship_step),
   2. records `jax.profiler.trace` over 15 steps (one full lazy-R1 period),
-  3. converts the .xplane.pb with the xprof/tensorboard-plugin-profile
-     converters into op_profile + framework op stats,
-  4. writes raw JSON next to the trace and prints the top self-time ops.
+  3. parses the trace-viewer JSON (vm.trace.json.gz) directly — the
+     tensorboard_plugin_profile converters are broken against this image's
+     TF/protobuf, but the trace events already carry `hlo_category`,
+     `model_flops`, `raw_bytes_accessed` and `tf_op` provenance,
+  4. prints a per-category roofline table and the top source ops by
+     self-time and by bytes moved.
 
 Run:  python tools/profile_step.py --logdir /tmp/ddgan_prof
+      python tools/profile_step.py --logdir /tmp/ddgan_prof --analyze-only
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import glob
+import gzip
 import json
 import os
 import sys
@@ -44,74 +50,86 @@ def capture(logdir: str, n_steps: int = 15) -> None:
     print(f"trace written under {logdir}")
 
 
-def find_xplanes(logdir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(logdir, "plugins/profile/*/*.xplane.pb")))
+def load_device_ops(logdir: str):
+    """Yield (name, dur_us, args) for every XLA-op event on the TPU device."""
+    paths = sorted(glob.glob(os.path.join(logdir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no *.trace.json.gz under {logdir}")
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    ev = d.get("traceEvents", [])
+    # find the device pid and its 'XLA Ops' line
+    dev_pid = None
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            if "TPU" in (e["args"].get("name") or ""):
+                dev_pid = e["pid"]
+    ops_tid = None
+    for e in ev:
+        if (
+            e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("pid") == dev_pid
+            and e["args"].get("name") == "XLA Ops"
+        ):
+            ops_tid = e["tid"]
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") == dev_pid and e.get("tid") == ops_tid:
+            yield e["name"], e["dur"], e.get("args") or {}
 
 
-def convert(logdir: str) -> dict[str, str]:
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def analyze(logdir: str, steps: int, top: int = 20) -> None:
+    cat = collections.defaultdict(lambda: [0.0, 0, 0])  # us, flops, bytes
+    prov = collections.defaultdict(lambda: [0.0, 0, 0])
+    total_us = 0.0
+    for name, dur, a in load_device_ops(logdir):
+        if "hlo_category" not in a:
+            continue
+        fl = int(a.get("model_flops") or 0)
+        by = int(a.get("raw_bytes_accessed") or 0)
+        total_us += dur
+        for agg, k in ((cat, a["hlo_category"]), (prov, a.get("tf_op", "?"))):
+            agg[k][0] += dur
+            agg[k][1] += fl
+            agg[k][2] += by
 
-    xplanes = find_xplanes(logdir)
-    if not xplanes:
-        raise FileNotFoundError(f"no .xplane.pb under {logdir}")
-    out: dict[str, str] = {}
-    for tool in ("op_profile", "framework_op_stats", "tensorflow_stats"):
-        try:
-            data, _ctype = raw_to_tool_data.xspace_to_tool_data(
-                xplanes, tool + "^", {}
+    print(f"total device op time: {total_us / 1e3 / steps:.2f} ms/step")
+    hdr = f"{'category':<28}{'ms/step':>8}{'%':>6}{'GFLOP/st':>10}{'GB/st':>8}{'TFLOP/s':>9}{'GB/s':>7}"
+    print("\n" + hdr)
+    for name, (us, fl, by) in sorted(cat.items(), key=lambda kv: -kv[1][0]):
+        sec = us / steps * 1e-6
+        print(
+            f"{name:<28}{us / 1e3 / steps:8.2f}{100 * us / total_us:6.1f}"
+            f"{fl / 1e9 / steps:10.2f}{by / 1e9 / steps:8.2f}"
+            f"{(fl / steps) / sec / 1e12 if sec else 0:9.1f}"
+            f"{(by / steps) / sec / 1e9 if sec else 0:7.0f}"
+        )
+
+    for title, keyfn in (
+        ("source ops by self time", lambda kv: -kv[1][0]),
+        ("source ops by bytes", lambda kv: -kv[1][2]),
+    ):
+        print(f"\ntop {top} {title}:")
+        print(f"{'ms/step':>8}{'%':>6}{'GB/st':>8}{'GB/s':>7}  op")
+        for name, (us, fl, by) in sorted(prov.items(), key=keyfn)[:top]:
+            sec = us / steps * 1e-6
+            print(
+                f"{us / 1e3 / steps:8.2f}{100 * us / total_us:6.1f}"
+                f"{by / 1e9 / steps:8.3f}"
+                f"{(by / steps) / sec / 1e9 if sec else 0:7.0f}  {name[:120]}"
             )
-            if isinstance(data, bytes):
-                data = data.decode("utf-8", "replace")
-            path = os.path.join(logdir, f"{tool}.json")
-            with open(path, "w") as f:
-                f.write(data)
-            out[tool] = path
-            print(f"{tool}: {path} ({len(data)} bytes)")
-        except Exception as e:  # tool sets differ across plugin versions
-            print(f"{tool}: unavailable ({type(e).__name__}: {e})")
-    return out
-
-
-def summarize_op_profile(path: str, top: int = 25) -> None:
-    with open(path) as f:
-        prof = json.load(f)
-
-    leaves = []
-
-    def walk(node, depth=0):
-        children = node.get("children") or []
-        m = node.get("metrics") or {}
-        if not children and m:
-            leaves.append((node.get("name", "?"), m))
-        for c in children:
-            walk(c, depth + 1)
-
-    root = prof.get("byCategory") or prof.get("byProgram") or prof
-    walk(root)
-    leaves.sort(key=lambda x: -(x[1].get("rawTime") or x[1].get("time") or 0))
-    print(f"\ntop {top} ops by self time:")
-    for name, m in leaves[:top]:
-        t = m.get("rawTime") or m.get("time") or 0
-        flops = m.get("rawFlops") or 0
-        bytes_ = m.get("rawBytesAccessed") or 0
-        print(f"  {t:>14} ps  flops={flops:>14}  bytes={bytes_:>12}  {name}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/ddgan_prof")
     ap.add_argument("--steps", type=int, default=15)
-    ap.add_argument("--convert-only", action="store_true")
+    ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
 
-    if not args.convert_only:
+    if not args.analyze_only:
         capture(args.logdir, args.steps)
-    paths = convert(args.logdir)
-    if "op_profile" in paths:
-        try:
-            summarize_op_profile(paths["op_profile"])
-        except Exception as e:
-            print(f"summary failed ({e}); inspect the raw JSON")
+    analyze(args.logdir, args.steps)
 
 
 if __name__ == "__main__":
