@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Secondary on-chip benchmarks: T=4 sampler throughput and the
+CelebA-HQ-256 recipe train step.
+
+bench.py stays the driver's single-JSON-line flagship number; this tool
+reproduces the two other headline measurements recorded in STATUS.md:
+
+  python tools/bench_extra.py sampler     # T=4 reverse diffusion, batch 256
+  python tools/bench_extra.py celeba256   # 256^2 recipe fused train step
+
+Timing uses a VALUE fetch as the barrier (CLAUDE.md: the axon relay has
+been observed acking `block_until_ready` early).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    _cache()
+    from __graft_entry__ import _flagship_config
+    from ddgan_tpu.diffusion import PosteriorCoefficients, sample_from_model
+    from ddgan_tpu.models import NCSNpp
+
+    cfg = _flagship_config()
+    gen = NCSNpp.from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, cfg.image_size, cfg.image_size, cfg.num_channels), jnp.float32)
+    variables = gen.init(
+        {"params": key, "dropout": key}, x[:2], jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, cfg.nz), jnp.float32),
+    )
+    pos_coeff = PosteriorCoefficients.create(
+        cfg.num_timesteps, cfg.beta_min, cfg.beta_max
+    )
+
+    def model_fn(xt, t, z):
+        return gen.apply(variables, xt, t, z, train=False)
+
+    @jax.jit
+    def sample(key):
+        kx, kz = jax.random.split(key)
+        x_init = jax.random.normal(
+            kx, (batch, cfg.image_size, cfg.image_size, cfg.num_channels)
+        )
+        return sample_from_model(
+            pos_coeff, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz
+        )
+
+    out = sample(key)  # compile
+    _ = float(out.reshape(-1)[0])
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        out = sample(k)
+    _ = float(out.reshape(-1)[0])
+    dt = time.perf_counter() - t0
+    rate = batch * n_iters / dt
+    return {
+        "metric": "cifar10_t4_sampler_samples_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "samples/sec/chip",
+    }
+
+
+def bench_celeba256(n_steps: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _cache()
+    from ddgan_tpu.config import Config
+    from ddgan_tpu.diffusion import DiffusionCoefficients, PosteriorCoefficients
+    from ddgan_tpu.parallel import make_mesh, replicate, shard_batch
+    from ddgan_tpu.train import create_train_state, make_optimizer, make_train_step
+    from ddgan_tpu.train.loop import build_models
+
+    # CelebA-HQ 256 paper recipe (readme.md:50-57), batch sized for one v5e
+    cfg = Config(
+        dataset="celeba_256", image_size=256, num_channels=3,
+        num_channels_dae=64, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+        attn_resolutions=[16], nz=100, z_emb_dim=256, n_mlp=3,
+        t_emb_dim=256, ngf=64, num_timesteps=2, batch_size=4,
+        r1_gamma=2.0, lazy_reg=10, ema_decay=0.999, dropout=0.0,
+        disc_small="no", compute_dtype="bfloat16",
+    )
+    cfg.use_remat = True  # not a schema key; NCSNpp.from_config getattr's it
+    gen, disc = build_models(cfg)
+    coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    pos_coeff = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, cfg.weight_decay_D, cfg.grad_clip_norm)
+    tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, cfg.weight_decay_G, cfg.grad_clip_norm)
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(
+        key, gen, disc, tx_g, tx_d,
+        (cfg.image_size, cfg.image_size, cfg.num_channels), cfg.nz,
+        batch=2, use_ema=True,
+    )
+    state = replicate(mesh, state)
+    step = make_train_step(
+        gen, disc, coeff, pos_coeff,
+        num_timesteps=cfg.num_timesteps, nz=cfg.nz,
+        r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
+        ema_decay=cfg.ema_decay, use_ema=True,
+        tx_g=tx_g, tx_d=tx_d, mesh=mesh,
+    )
+    rng = np.random.RandomState(0)
+    batch = shard_batch(
+        mesh,
+        jnp.asarray(
+            rng.uniform(
+                -1, 1,
+                (cfg.batch_size * n_dev, cfg.image_size, cfg.image_size, cfg.num_channels),
+            ).astype(np.float32)
+        ),
+    )
+    lr_g = jnp.asarray(cfg.lr_g, jnp.float32)
+    lr_d = jnp.asarray(cfg.lr_d, jnp.float32)
+
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k, lr_g, lr_d)
+    _ = float(metrics.errD)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k, lr_g, lr_d)
+    _ = float(metrics.errD)
+    dt = time.perf_counter() - t0
+    ms = dt / n_steps * 1e3
+    return {
+        "metric": "celeba256_t2_train_ms_per_step",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "samples_per_sec_per_chip": round(cfg.batch_size * n_steps * n_dev / dt / n_dev, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["sampler", "celeba256"])
+    args = ap.parse_args()
+    fn = {"sampler": bench_sampler, "celeba256": bench_celeba256}[args.which]
+    print(json.dumps(fn()))
+
+
+if __name__ == "__main__":
+    main()
