@@ -81,7 +81,12 @@ def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
     }
 
 
-def bench_celeba256(n_steps: int = 10) -> dict:
+def build_celeba256_step(use_remat: bool = True):
+    """Construct the CelebA-HQ-256 recipe fused train step.
+
+    Returns (step, state, batch, key, lr_g, lr_d, cfg) — shared by the
+    bench below and profile_step.py --which celeba256.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,7 +107,7 @@ def bench_celeba256(n_steps: int = 10) -> dict:
         r1_gamma=2.0, lazy_reg=10, ema_decay=0.999, dropout=0.0,
         disc_small="no", compute_dtype="bfloat16",
     )
-    cfg.use_remat = True  # not a schema key; NCSNpp.from_config getattr's it
+    cfg.use_remat = use_remat  # not a schema key; NCSNpp.from_config getattr's it
     gen, disc = build_models(cfg)
     coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
     pos_coeff = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
@@ -137,6 +142,14 @@ def bench_celeba256(n_steps: int = 10) -> dict:
     )
     lr_g = jnp.asarray(cfg.lr_g, jnp.float32)
     lr_d = jnp.asarray(cfg.lr_d, jnp.float32)
+    return step, state, batch, key, lr_g, lr_d, cfg
+
+
+def bench_celeba256(n_steps: int = 10, use_remat: bool = True) -> dict:
+    import jax
+
+    step, state, batch, key, lr_g, lr_d, cfg = build_celeba256_step(use_remat)
+    n_dev = len(jax.devices())
 
     for _ in range(2):
         key, k = jax.random.split(key)
@@ -150,7 +163,8 @@ def bench_celeba256(n_steps: int = 10) -> dict:
     dt = time.perf_counter() - t0
     ms = dt / n_steps * 1e3
     return {
-        "metric": "celeba256_t2_train_ms_per_step",
+        "metric": "celeba256_t2_train_ms_per_step"
+        + ("" if use_remat else "_noremat"),
         "value": round(ms, 1),
         "unit": "ms/step",
         "samples_per_sec_per_chip": round(cfg.batch_size * n_steps * n_dev / dt / n_dev, 2),
@@ -159,10 +173,13 @@ def bench_celeba256(n_steps: int = 10) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["sampler", "celeba256"])
+    ap.add_argument("which", choices=["sampler", "celeba256", "celeba256-noremat"])
     args = ap.parse_args()
-    fn = {"sampler": bench_sampler, "celeba256": bench_celeba256}[args.which]
-    print(json.dumps(fn()))
+    if args.which == "sampler":
+        out = bench_sampler()
+    else:
+        out = bench_celeba256(use_remat=(args.which == "celeba256"))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,11 +32,17 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def capture(logdir: str, n_steps: int = 15) -> None:
+def capture(logdir: str, n_steps: int = 15, which: str = "flagship") -> None:
     import jax
-    from bench import build_flagship_step
 
-    step, state, batch, key, lr_g, lr_d, cfg, mesh, n_dev = build_flagship_step()
+    if which == "flagship":
+        from bench import build_flagship_step
+
+        step, state, batch, key, lr_g, lr_d, *_ = build_flagship_step()
+    else:
+        from tools.bench_extra import build_celeba256_step
+
+        step, state, batch, key, lr_g, lr_d, *_ = build_celeba256_step()
     for _ in range(3):  # compile + warm
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k, lr_g, lr_d)
@@ -124,11 +130,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/ddgan_prof")
     ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--which", choices=["flagship", "celeba256"], default="flagship")
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
 
     if not args.analyze_only:
-        capture(args.logdir, args.steps)
+        capture(args.logdir, args.steps, args.which)
     analyze(args.logdir, args.steps)
 
 
