@@ -7,13 +7,14 @@ hot in DDGAN are the separable 4-tap FIR at factor 2:
   * down2x: up=1, down=2, pad=(1,1)   (downsample_2d, discriminator path)
   * up2x:   up=2, down=1, pad=(2,1)   (upsample_2d, generator up path)
 
-Design: ONE VMEM round-trip per image block — pad in VMEM, filter rows
-then columns (separable: 2x4 MACs instead of 16 per output), polyphase
-decomposition for the up path (each output phase is a 2-tap filter, no
-zero-stuffing materialized). The XLA dilated-conv formulation
-(ops/upfirdn2d.py) issues the same math as a depthwise conv through HBM;
-fusing both passes and the pad into one kernel halves HBM traffic on this
-bandwidth-bound op.
+Design v2 (round 2): the same banded-matmul formulation that made the XLA
+path win (ops/upfirdn2d.upfirdn2d_matmul) — out = Mh · X · Mwᵀ with banded
+operator matrices per axis — but with BOTH matmuls fused into one kernel,
+so the (H_out, W, C) intermediate lives in VMEM instead of making an HBM
+round-trip. Both contractions run on the MXU (jnp.dot with lane-aligned
+(axis, rest·C) operands); the only VPU work is two sublane transposes of
+the intermediate. The round-1 polyphase VPU kernels (phase-split reshapes
+→ Mosaic relayouts, measured 87-160 GB/s) are superseded.
 
 Grid: (N, C-blocks); each program handles a full (H, W, Cb) slab — the
 DDGAN resolutions (≤64² at FIR sites for the shipped recipes, 16/8/4 after
@@ -51,100 +52,72 @@ def _cb(c: int) -> int:
 
 
 # --------------------------------------------------------------------------
-# down2x: out[i] = sum_t k[t] * xpad[2i + t], pad=(1,1), separable
-def _down2x_kernel(x_ref, out_ref, *, kvec):
-    """Strided taps expressed as contiguous reshape phase-splits (Mosaic
-    lowers strided slices as unsupported gathers)."""
-    x = x_ref[0]  # (H, W, Cb)
-    h, w, cb = x.shape
-    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
-    # rows: r[i] = k0 xp[2i] + k1 xp[2i+1] + k2 xp[2i+2] + k3 xp[2i+3]
-    a = xp[0:h].reshape(h // 2, 2, w, cb)          # a[:,0]=xp[2i], a[:,1]=xp[2i+1]
-    bb = xp[2 : h + 2].reshape(h // 2, 2, w, cb)   # b[:,0]=xp[2i+2], b[:,1]=xp[2i+3]
-    r = (
-        kvec[0] * a[:, 0]
-        + kvec[1] * a[:, 1]
-        + kvec[2] * bb[:, 0]
-        + kvec[3] * bb[:, 1]
-    )
-    rp = jnp.pad(r, ((0, 0), (1, 1), (0, 0)))
-    aw = rp[:, 0:w].reshape(h // 2, w // 2, 2, cb)
-    bw = rp[:, 2 : w + 2].reshape(h // 2, w // 2, 2, cb)
-    out = (
-        kvec[0] * aw[:, :, 0]
-        + kvec[1] * aw[:, :, 1]
-        + kvec[2] * bw[:, :, 0]
-        + kvec[3] * bw[:, :, 1]
-    )
-    out_ref[0] = out.astype(out_ref.dtype)
+# fused separable upfirdn: one VMEM round-trip, two MXU banded matmuls
+def _sep_mxu_kernel(mh_ref, mw_ref, x_ref, out_ref):
+    x = x_ref[0]                                    # (H, W, Cb)
+    mh = mh_ref[...]                                # (Ho, H)
+    mw = mw_ref[...]                                # (Wo, W)
+    # Columns first, then rows, both as dot_generals contracting the
+    # MIDDLE dim of the image operand — the output of each pass lands
+    # directly in (new_axis, other_axis, C) order, so NO transposes or
+    # relayouts are needed anywhere:
+    #   s[wo,h,c] = Σ_w mw[wo,w] x[h,w,c]
+    #   o[ho,wo,c] = Σ_h mh[ho,h] s[wo,h,c]
+    s = jax.lax.dot_general(
+        mw, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                               # (Wo, H, Cb)
+    o = jax.lax.dot_general(
+        mh, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                               # (Ho, Wo, Cb)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _sep_mxu_pallas(
+    x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray
+) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    ho, wo = mh.shape[0], mw.shape[0]
+    cb = _cb(c)
+    mh_a = jnp.asarray(mh, x.dtype)
+    mw_a = jnp.asarray(mw, x.dtype)
+    return pl.pallas_call(
+        _sep_mxu_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
+        grid=(n, c // cb),
+        in_specs=[
+            pl.BlockSpec((ho, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wo, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h, w, cb), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ho, wo, cb), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(mh_a, mw_a, x)
 
 
 def _down2x_pallas(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
     """x: (N, H, W, C) with H, W even; k: 4-tap 1-D kernel (row of the
-    separable 2-D FIR). upfirdn semantics are TRUE convolution, and the
-    kernel taps multiply xp[2i + t] — so the tap vector is the FLIPPED
-    kernel (matches upfirdn2d_ref's cross-correlation with flip(k))."""
+    separable 2-D FIR), applied as TRUE convolution (band matrices are
+    built from the flipped kernel, matching upfirdn2d_ref)."""
+    from ..upfirdn2d import _fir_matrix
+
     n, h, w, c = x.shape
-    cb = _cb(c)
-    kvec = tuple(float(v) for v in np.asarray(k, np.float64)[::-1])
-    kernel = functools.partial(_down2x_kernel, kvec=kvec)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, c), x.dtype),
-        grid=(n, c // cb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h, w, cb), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h // 2, w // 2, cb), lambda i, j: (i, 0, 0, j),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=_interpret(),
-    )(x)
-
-
-# --------------------------------------------------------------------------
-# up2x: polyphase — out[2m] = k[0] x[m-1] + k[2] x[m];
-#                   out[2m+1] = k[1] x[m] + k[3] x[m+1]
-def _up2x_kernel(x_ref, out_ref, *, kvec):
-    x = x_ref[0]  # (H, W, Cb)
-    h, w, cb = x.shape
-    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
-    even = kvec[0] * xp[0:h] + kvec[2] * xp[1 : h + 1]
-    odd = kvec[1] * xp[1 : h + 1] + kvec[3] * xp[2 : h + 2]
-    r = jnp.stack([even, odd], axis=1).reshape(2 * h, w, cb)
-
-    rp = jnp.pad(r, ((0, 0), (1, 1), (0, 0)))
-    even_w = kvec[0] * rp[:, 0:w] + kvec[2] * rp[:, 1 : w + 1]
-    odd_w = kvec[1] * rp[:, 1 : w + 1] + kvec[3] * rp[:, 2 : w + 2]
-    out = jnp.stack([even_w, odd_w], axis=2).reshape(2 * h, 2 * w, cb)
-    out_ref[0] = out.astype(out_ref.dtype)
+    mh = _fir_matrix(h, 1, 2, 1, 1, k)
+    mw = _fir_matrix(w, 1, 2, 1, 1, k)
+    return _sep_mxu_pallas(x, mh, mw)
 
 
 def _up2x_pallas(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
-    """Polyphase taps derived for true convolution: with kf = flip(k),
-    out[2m] = kf[0] x[m-1] + kf[2] x[m]; out[2m+1] = kf[1] x[m] + kf[3] x[m+1]."""
+    """Fused separable FIR upsample by 2 (up=2, down=1, pad=(2,1))."""
+    from ..upfirdn2d import _fir_matrix
+
     n, h, w, c = x.shape
-    cb = _cb(c)
-    kvec = tuple(float(v) for v in np.asarray(k, np.float64)[::-1])
-    kernel = functools.partial(_up2x_kernel, kvec=kvec)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
-        grid=(n, c // cb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h, w, cb), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 2 * h, 2 * w, cb), lambda i, j: (i, 0, 0, j),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=_interpret(),
-    )(x)
+    mh = _fir_matrix(h, 2, 1, 2, 1, k)
+    mw = _fir_matrix(w, 2, 1, 2, 1, k)
+    return _sep_mxu_pallas(x, mh, mw)
 
 
 # --------------------------------------------------------------------------
@@ -206,10 +179,9 @@ up2x.defvjp(_up2x_fwd, _up2x_bwd)
 
 
 def fits_vmem(n, h, w, c, dtype, budget_bytes=14 * 1024 * 1024) -> bool:
-    """Conservative check. Mosaic materializes ~8-10 block-sized
-    temporaries for these kernels (pad/phase-split/accumulate chains), so
-    the multiplier is 10x the input slab (empirically a (1,64,64,128) f32
-    slab OOMs the 16M scoped vmem)."""
+    """Conservative check for the fused MXU kernel: input slab + f32
+    intermediate (up to 2HWC) + its transpose + output (up to 4HWC) plus
+    Mosaic headroom ≈ 6x the input slab in the worst (up2x, f32) case."""
     cb = _cb(c)
     itemsize = jnp.dtype(dtype).itemsize
-    return (h + 2) * (w + 2) * cb * itemsize * 10 < budget_bytes
+    return (h + 2) * (w + 2) * cb * itemsize * 6 < budget_bytes

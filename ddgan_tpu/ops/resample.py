@@ -18,11 +18,12 @@ def _pallas_fir_enabled() -> bool:
     """Pallas path for the 2x separable FIR patterns (DDGAN_TPU_PALLAS_FIR
     = '1' to enable).
 
-    MEASURED OFF by default: on v5e the default banded-matmul/dilated-conv
-    formulations beat the hand-written Pallas kernels (204/128 vs
-    87-160 GB/s, chained-roundtrip timing — see bench_ops.py and
-    ops/experimental/__init__.py). The kernels live under ops/experimental
-    and stay golden-tested for future tuning.
+    MEASURED OFF by default: on v5e the banded-matmul default measures
+    220 GB/s at the (64,32,32,128) roundtrip vs 203 for the round-2 fused
+    Pallas MXU kernel (a tie within the ~±8% run spread at the smaller
+    shapes; round-1's polyphase VPU kernels were at 87-160). See
+    bench_ops.py. The kernels live under ops/experimental and stay
+    golden-tested for future tuning.
     """
     import os
 

@@ -190,13 +190,15 @@ def upfirdn2d(
     """Fused upsample-FIR-downsample (NHWC). Public entry point.
 
     Dispatch (measured on v5e, bench_ops.py chained-roundtrip timing):
-    separable kernels take the banded-MATMUL MXU formulation
-    (204 vs 128 GB/s for conv at the (64,32,32,128) up/down roundtrip,
-    ties at smaller shapes); non-separable or traced kernels fall back to
-    the dilated-conv formulation. The hand-written Pallas polyphase
-    kernels lose to both (87-160 GB/s) and live in ops/experimental/pallas_upfirdn
-    gated off by default. All three share these exact semantics and are
-    golden-tested against each other and the torch reference.
+    separable kernels take the banded-MATMUL MXU formulation; non-separable
+    or traced kernels fall back to the dilated-conv formulation. At the
+    (64,32,32,128) up/down roundtrip matmul/conv/Pallas measure
+    220/218/203 GB/s (round-2 numbers; run-to-run spread is ~±8%) — the
+    fused Pallas MXU kernel in ops/experimental/pallas_upfirdn (v2,
+    transpose-free dot_generals) ties within noise but does not win, so
+    it stays gated behind DDGAN_TPU_PALLAS_FIR=1. All three share these
+    exact semantics and are golden-tested against each other and the
+    torch reference.
     """
     return upfirdn2d_matmul(x, kernel, up=up, down=down, pad=pad)
 
