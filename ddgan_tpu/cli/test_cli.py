@@ -106,14 +106,21 @@ def sample_and_test(args):
     batch_size = int(args.batch_size or cfg.batch_size)
     mesh = make_mesh()
     n_dev = mesh.size
+    # FID sets want throughput: batch_size PER DEVICE, output scales with
+    # chips. The plain-sampling branch wants exactly batch_size images, so
+    # size the per-device batch down instead of sampling n_dev× and
+    # discarding all but one device's work.
+    per_device_batch = (
+        batch_size if args.compute_fid else max(1, -(-batch_size // n_dev))
+    )
     sampler = make_sharded_sampler(
         pos_coeff, generator, cfg.num_timesteps,
         (cfg.image_size, cfg.image_size, cfg.num_channels), cfg.nz,
-        mesh, per_device_batch=batch_size,
+        mesh, per_device_batch=per_device_batch,
     )
 
     def generate(key):
-        """One sharded call → (batch_size * n_dev, H, W, C) on host."""
+        """One sharded call → (per_device_batch * n_dev, H, W, C) on host."""
         key, ks = jax.random.split(key)
         out = sampler(ks)
         return np.asarray(to_range_0_1(out)), key

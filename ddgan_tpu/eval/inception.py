@@ -158,9 +158,12 @@ def _inception_e(params, prefix, x, pool: str):
     )
     if pool == "avg_nopad":  # FIDInceptionE_1 (inception.py:281-309)
         bp = _avg_pool(x, 3, 1, 1, count_include_pad=False)
-    else:  # FIDInceptionE_2 KEEPS the stride-1 max pool — the TF-FID
-        # checkpoint's quirk, preserved by the patch (inception.py:330-337)
+    elif pool == "max":  # FIDInceptionE_2 KEEPS the stride-1 max pool —
+        # the TF-FID checkpoint's quirk, preserved by the patch
+        # (inception.py:330-337)
         bp = _max_pool(x, 3, 1, padding=1)
+    else:
+        raise ValueError(f"unknown pool mode {pool!r}")
     bp = c(prefix + ".branch_pool", bp)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -224,7 +227,7 @@ class InceptionV3FID:
         if self.last_needed_block >= 3:
             x = _inception_d(p, "Mixed_7a", x)
             x = _inception_e(p, "Mixed_7b", x, pool="avg_nopad")
-            x = _inception_e(p, "Mixed_7c", x, pool="avg")
+            x = _inception_e(p, "Mixed_7c", x, pool="max")
             x = x.mean(axis=(1, 2), keepdims=True)  # adaptive_avg_pool to 1x1
             if 3 in self.output_blocks:
                 outputs.append(x)

@@ -179,9 +179,19 @@ up2x.defvjp(_up2x_fwd, _up2x_bwd)
 
 
 def fits_vmem(n, h, w, c, dtype, budget_bytes=14 * 1024 * 1024) -> bool:
-    """Conservative check for the fused MXU kernel: input slab + f32
-    intermediate (up to 2HWC) + its transpose + output (up to 4HWC) plus
-    Mosaic headroom ≈ 6x the input slab in the worst (up2x, f32) case."""
+    """Conservative VMEM check for the fused MXU kernel, sized for the
+    worst case (up2x): input slab in `dtype`, the two dot_general
+    intermediates s (Wo·H·Cb = 2HWC) and o (Ho·Wo·Cb = 4HWC) in f32
+    REGARDLESS of input dtype (preferred_element_type), the cast output
+    block in `dtype`, with 1.5x headroom for Mosaic temporaries and
+    double-buffered DMA."""
     cb = _cb(c)
     itemsize = jnp.dtype(dtype).itemsize
-    return (h + 2) * (w + 2) * cb * itemsize * 6 < budget_bytes
+    slab = h * w * cb
+    need = (
+        slab * itemsize          # input block
+        + 2 * slab * 4           # s  (up to 2HWC, f32)
+        + 4 * slab * 4           # o  (up to 4HWC, f32)
+        + 4 * slab * itemsize    # output block (up to 4HWC, dtype)
+    )
+    return need * 1.5 < budget_bytes

@@ -167,7 +167,7 @@ def bench_celeba256(n_steps: int = 10, use_remat: bool = True) -> dict:
         + ("" if use_remat else "_noremat"),
         "value": round(ms, 1),
         "unit": "ms/step",
-        "samples_per_sec_per_chip": round(cfg.batch_size * n_steps * n_dev / dt / n_dev, 2),
+        "samples_per_sec_per_chip": round(cfg.batch_size * n_steps / dt, 2),
     }
 
 

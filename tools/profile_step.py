@@ -79,6 +79,11 @@ def load_device_ops(logdir: str):
             and e["args"].get("name") == "XLA Ops"
         ):
             ops_tid = e["tid"]
+    if dev_pid is None or ops_tid is None:
+        raise RuntimeError(
+            f"no TPU 'XLA Ops' line found in {paths[-1]} — was the trace "
+            "captured on the TPU backend? (CPU traces carry no device ops)"
+        )
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") == dev_pid and e.get("tid") == ops_tid:
             yield e["name"], e["dur"], e.get("args") or {}

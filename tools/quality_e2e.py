@@ -151,6 +151,11 @@ def main():
     epochs = sorted(
         int(p.stem.split("_")[1]) for p in exp_path.glob("netG_*.ckpt")
     )
+    if not epochs:
+        sys.exit(
+            f"no netG_*.ckpt checkpoints under {exp_path} — wrong --root, "
+            "or training died before the first --ckpt-every boundary"
+        )
     results = []
     for e in epochs:
         t0 = time.time()
