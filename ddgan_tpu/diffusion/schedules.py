@@ -67,13 +67,13 @@ def get_sigma_schedule(
         # coefficient downstream is NaN (sqrt of a negative). The reference
         # propagates those NaNs silently; we fail loudly (fixed-to-intent,
         # quirk-ledgered in STATUS.md).
-        if not (0.0 < beta_min < 1.0 and 0.0 < beta_max < 1.0):
+        if not (0.0 < beta_min <= beta_max < 1.0):
             raise ValueError(
-                "use_geometric=True requires beta_min and beta_max in (0, 1) "
-                f"(got beta_min={beta_min}, beta_max={beta_max}); var(t)="
-                "beta_min*(beta_max/beta_min)**t interpolates between them "
-                "and must stay below 1 on (0,1] or the schedule "
-                "coefficients are NaN (ddgan.py:45-47)."
+                "use_geometric=True requires 0 < beta_min <= beta_max < 1 "
+                f"(got beta_min={beta_min}, beta_max={beta_max}): var(t)="
+                "beta_min*(beta_max/beta_min)**t must stay below 1 AND be "
+                "non-decreasing, else alpha_bar ratios exceed 1, betas go "
+                "negative, and sigmas = sqrt(betas) are NaN (ddgan.py:45-47)."
             )
     else:
         var = var_func_vp(t, beta_min, beta_max)

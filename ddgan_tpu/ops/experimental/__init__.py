@@ -1,14 +1,15 @@
-"""Experimental ops — real, tested code that does NOT win at runtime.
+"""Experimental ops — real, tested code that does not (yet) win at runtime.
 
-pallas_upfirdn: hand-written Pallas polyphase 2x FIR kernels
-(reference counterpart: score_sde/op/upfirdn2d_kernel.cu:109-368).
-Measured on TPU v5e with bench_ops.py's chained-roundtrip timing
-(2026-08-16): the banded-matmul MXU formulation (ops/upfirdn2d.py)
-sustains ~204 GB/s on the (64,32,32,128) up2x/down2x roundtrip, the XLA
-dilated-conv formulation ~128 GB/s, and these Pallas kernels trail both
-(~87-160 GB/s; the polyphase phase-split reshapes relayout in VMEM).
+pallas_upfirdn: fused Pallas 2x FIR kernels (reference counterpart:
+score_sde/op/upfirdn2d_kernel.cu:109-368), rewritten in round 2 as
+transpose-free MXU banded-matmul dot_generals with both passes in one
+VMEM round-trip. Measured on TPU v5e with bench_ops.py's
+chained-roundtrip timing (2026-08-17): matmul 220 ≈ conv 218 ≈ Pallas
+203 GB/s at the (64,32,32,128) roundtrip, with ~±8% run-to-run spread —
+a tie within noise, not a win (round 1's polyphase VPU kernels were at
+87-160 GB/s), so the banded-matmul XLA formulation stays the default.
 They stay golden-tested (tests/test_pallas_fir.py) and reachable via
-DDGAN_TPU_PALLAS_FIR=1 for future tuning, but are not a perf feature.
+DDGAN_TPU_PALLAS_FIR=1 for future tuning.
 """
 
 from .pallas_upfirdn import down2x, fits_vmem, up2x
