@@ -63,6 +63,13 @@ def test_geometric_invalid_domain_raises():
     beta_max=20); we raise a loud ValueError instead (fixed-to-intent)."""
     with pytest.raises(ValueError, match="use_geometric"):
         get_sigma_schedule(4, BETA_MIN, BETA_MAX, use_geometric=True)
+    # decreasing variance (beta_min > beta_max) makes alpha_bar ratios
+    # exceed 1 → negative betas → NaN sigmas; must also fail loudly
+    with pytest.raises(ValueError, match="beta_min <= beta_max"):
+        get_sigma_schedule(4, 0.5, 0.1, use_geometric=True)
+    # beta_min outside (0,1) is NaN even when beta_max is fine
+    with pytest.raises(ValueError, match="use_geometric"):
+        get_sigma_schedule(4, 1.5, 0.9, use_geometric=True)
 
 
 def test_time_schedule():

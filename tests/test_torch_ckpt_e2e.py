@@ -45,6 +45,22 @@ def test_sample_cli_from_torch_checkpoint(tmp_path, monkeypatch):
 
     from ddgan_tpu.cli.test_cli import sample_and_test
 
+    # Spy on the sampler construction: the plain-sampling branch must size
+    # the per-device batch to ceil(batch_size / n_dev) instead of sampling
+    # batch_size on EVERY device and discarding all but one device's work.
+    import ddgan_tpu.diffusion as diffusion_mod
+
+    built = {}
+    real_make = diffusion_mod.make_sharded_sampler
+
+    def spy(pos, gen_fn, n_time, shape, nz, mesh, per_device_batch):
+        built["per_device_batch"] = per_device_batch
+        built["n_dev"] = mesh.size
+        return real_make(pos, gen_fn, n_time, shape, nz, mesh,
+                         per_device_batch=per_device_batch)
+
+    monkeypatch.setattr(diffusion_mod, "make_sharded_sampler", spy)
+
     cli_args = argparse.Namespace(
         seed=7, normalize=False, compute_fid=False, epoch_id=5,
         real_img_dir="./real_images", fid_output_path="./fid.txt",
@@ -52,6 +68,8 @@ def test_sample_cli_from_torch_checkpoint(tmp_path, monkeypatch):
         save_npy=False, generated_samples_dir=".", batch_size=4,
     )
     sample_and_test(cli_args)
+    expected_per_dev = max(1, -(-4 // built["n_dev"]))
+    assert built["per_device_batch"] == expected_per_dev
 
     out_dir = tmp_path / "generated_samples" / "synthetic"
     pngs = sorted(out_dir.glob("sample_*.png"))
