@@ -81,7 +81,7 @@ def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
     }
 
 
-def build_celeba256_step(use_remat: bool = True):
+def build_celeba256_step(use_remat: bool = True, batch_size: int = 4):
     """Construct the CelebA-HQ-256 recipe fused train step.
 
     Returns (step, state, batch, key, lr_g, lr_d, cfg) — shared by the
@@ -103,7 +103,7 @@ def build_celeba256_step(use_remat: bool = True):
         dataset="celeba_256", image_size=256, num_channels=3,
         num_channels_dae=64, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
         attn_resolutions=[16], nz=100, z_emb_dim=256, n_mlp=3,
-        t_emb_dim=256, ngf=64, num_timesteps=2, batch_size=4,
+        t_emb_dim=256, ngf=64, num_timesteps=2, batch_size=batch_size,
         r1_gamma=2.0, lazy_reg=10, ema_decay=0.999, dropout=0.0,
         disc_small="no", compute_dtype="bfloat16",
     )
@@ -145,10 +145,14 @@ def build_celeba256_step(use_remat: bool = True):
     return step, state, batch, key, lr_g, lr_d, cfg
 
 
-def bench_celeba256(n_steps: int = 10, use_remat: bool = True) -> dict:
+def bench_celeba256(
+    n_steps: int = 10, use_remat: bool = True, batch_size: int = 4
+) -> dict:
     import jax
 
-    step, state, batch, key, lr_g, lr_d, cfg = build_celeba256_step(use_remat)
+    step, state, batch, key, lr_g, lr_d, cfg = build_celeba256_step(
+        use_remat, batch_size
+    )
     n_dev = len(jax.devices())
 
     for _ in range(2):
@@ -174,11 +178,16 @@ def bench_celeba256(n_steps: int = 10, use_remat: bool = True) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["sampler", "celeba256", "celeba256-noremat"])
+    ap.add_argument("--batch", type=int, default=4,
+                    help="per-chip batch for celeba256 (recipe: 4/GPU)")
     args = ap.parse_args()
     if args.which == "sampler":
         out = bench_sampler()
     else:
-        out = bench_celeba256(use_remat=(args.which == "celeba256"))
+        out = bench_celeba256(
+            use_remat=(args.which == "celeba256"), batch_size=args.batch
+        )
+        out["batch_per_chip"] = args.batch
     print(json.dumps(out))
 
 
