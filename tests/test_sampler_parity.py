@@ -103,9 +103,12 @@ def test_sampler_parity_t4():
 
 def test_sharded_sampler_matches_per_device_runs():
     """Mesh-sharded generation (make_sharded_sampler, the test_ddgan FID
-    path): shard i's output must be bit-identical to a single-device
-    sample_from_model run with fold_in(key, i) — i.e. sharding changes the
-    work distribution, never the samples."""
+    path): shard i's output must equal a single-device sample_from_model
+    run with fold_in(key, i) — i.e. sharding changes the work
+    distribution, never the samples. Tolerance is ~1 ulp rather than
+    bit-exact: the shard_map-wrapped and standalone programs are compiled
+    separately and XLA may fuse/round float chains differently (observed
+    1.5e-8 on one element after the T<=16 sampler unroll)."""
     from ddgan_tpu.diffusion import (
         make_sharded_sampler,
         sample_from_model,
@@ -137,4 +140,6 @@ def test_sharded_sampler_matches_per_device_runs():
         ref = np.asarray(
             sample_from_model(pos, toy_generator, 4, x_init, ks, nz)
         )
-        np.testing.assert_array_equal(out[i * per_dev:(i + 1) * per_dev], ref)
+        np.testing.assert_allclose(
+            out[i * per_dev:(i + 1) * per_dev], ref, rtol=0, atol=1e-6
+        )
