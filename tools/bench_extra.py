@@ -178,16 +178,18 @@ def bench_celeba256(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["sampler", "celeba256", "celeba256-noremat"])
-    ap.add_argument("--batch", type=int, default=4,
-                    help="per-chip batch for celeba256 (recipe: 4/GPU)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="per-chip batch (sampler default 256; celeba256 "
+                         "default 4, the recipe's per-GPU batch)")
     args = ap.parse_args()
     if args.which == "sampler":
-        out = bench_sampler()
+        out = bench_sampler(batch=args.batch or 256)
+        out["batch_per_call"] = args.batch or 256
     else:
         out = bench_celeba256(
-            use_remat=(args.which == "celeba256"), batch_size=args.batch
+            use_remat=(args.which == "celeba256"), batch_size=args.batch or 4
         )
-        out["batch_per_chip"] = args.batch
+        out["batch_per_chip"] = args.batch or 4
     print(json.dumps(out))
 
 
