@@ -35,6 +35,8 @@ sys.path.insert(0, str(REPO))
 def capture(logdir: str, n_steps: int = 15, which: str = "flagship") -> None:
     import jax
 
+    if which == "sampler":
+        return _capture_sampler(logdir, n_steps)
     if which == "flagship":
         from bench import build_flagship_step
 
@@ -53,6 +55,45 @@ def capture(logdir: str, n_steps: int = 15, which: str = "flagship") -> None:
             key, k = jax.random.split(key)
             state, metrics = step(state, batch, k, lr_g, lr_d)
         _ = float(metrics.errD)  # value fetch: force completion inside trace
+    print(f"trace written under {logdir}")
+
+
+def _capture_sampler(logdir: str, n_steps: int, batch: int = 256) -> None:
+    """Trace the T-step reverse sampler (flagship recipe, batch 256)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_config
+    from ddgan_tpu.diffusion import PosteriorCoefficients, sample_from_model
+    from ddgan_tpu.models import NCSNpp
+
+    cfg = _flagship_config()
+    gen = NCSNpp.from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, cfg.image_size, cfg.image_size, cfg.num_channels), jnp.float32)
+    variables = gen.init(
+        {"params": key, "dropout": key}, x0, jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, cfg.nz), jnp.float32),
+    )
+    pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+
+    def model_fn(xt, t, z):
+        return gen.apply(variables, xt, t, z, train=False)
+
+    @jax.jit
+    def sample(key):
+        kx, kz = jax.random.split(key)
+        x_init = jax.random.normal(
+            kx, (batch, cfg.image_size, cfg.image_size, cfg.num_channels)
+        )
+        return sample_from_model(pos, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz)
+
+    out = sample(key)
+    _ = float(out.reshape(-1)[0])
+    with jax.profiler.trace(logdir):
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            out = sample(k)
+        _ = float(out.reshape(-1)[0])
     print(f"trace written under {logdir}")
 
 
@@ -135,7 +176,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/ddgan_prof")
     ap.add_argument("--steps", type=int, default=15)
-    ap.add_argument("--which", choices=["flagship", "celeba256"], default="flagship")
+    ap.add_argument(
+        "--which", choices=["flagship", "celeba256", "sampler"], default="flagship"
+    )
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
 
