@@ -14,5 +14,8 @@ from .fid import (  # noqa: F401
     compute_statistics_of_path,
     get_activations,
 )
-from .inception_score import inception_score_from_probs  # noqa: F401
+from .inception_score import (  # noqa: F401
+    get_inception_score,
+    inception_score_from_probs,
+)
 from .inception import InceptionV3FID, load_fid_inception_params  # noqa: F401

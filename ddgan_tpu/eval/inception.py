@@ -380,6 +380,17 @@ def default_feature_fn(dims: int = 2048, weights_path: str | None = None):
     """
     block = BLOCK_INDEX_BY_DIM[dims]
     rand_seed = os.environ.get(RANDOM_WEIGHTS_ENV)
+    if rand_seed is not None and (weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)):
+        # Both sources configured: the real-weights path wins. Say so loudly
+        # so quality tooling can never mislabel a feature space (a stale
+        # inherited RANDOM var with a real PATH — or vice versa — would
+        # otherwise silently change what the scores mean).
+        print(
+            f"NOTE: both {RANDOM_WEIGHTS_ENV} and a weights path are set; "
+            f"using REAL weights from "
+            f"{weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)} and "
+            f"ignoring {RANDOM_WEIGHTS_ENV}={rand_seed}."
+        )
     if rand_seed is not None and not (
         weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)
     ):
@@ -416,9 +427,37 @@ def load_fid_inception_logits_params(path: str | None = None) -> dict[str, np.nd
     return params_from_torch_state_dict(sd, keep_fc=True)
 
 
+def random_fid_inception_logits_params(seed: int = 0) -> dict[str, np.ndarray]:
+    """random_fid_inception_params + a random 1008-way fc head (the TF-FID
+    checkpoint's classifier width), for IS pipeline runs without weights."""
+    params = random_fid_inception_params(seed)
+    rng = np.random.RandomState(seed + 1)
+    params["fc.weight"] = (
+        rng.randn(1008, 2048).astype(np.float32) * np.sqrt(1.0 / 2048)
+    )
+    params["fc.bias"] = np.zeros(1008, np.float32)
+    return params
+
+
 def default_logits_fn(weights_path: str | None = None):
-    """Jitted (B,H,W,C)∈[0,1] → (B, classes) logits for Inception Score."""
-    params = load_fid_inception_logits_params(weights_path)
+    """Jitted (B,H,W,C)∈[0,1] → (B, classes) logits for Inception Score.
+
+    Same zero-egress fallback as default_feature_fn: with no real weights
+    and DDGAN_TPU_INCEPTION_RANDOM=<seed> set, a seeded-random classifier is
+    used (scores are NOT comparable to published IS; loud warning printed).
+    """
+    rand_seed = os.environ.get(RANDOM_WEIGHTS_ENV)
+    if rand_seed is not None and not (
+        weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)
+    ):
+        print(
+            "WARNING: using RANDOM Inception classifier "
+            f"({RANDOM_WEIGHTS_ENV}={rand_seed}); Inception Scores are in a "
+            "random-logit space, not comparable to published IS."
+        )
+        params = random_fid_inception_logits_params(int(rand_seed))
+    else:
+        params = load_fid_inception_logits_params(weights_path)
     fc_w = jnp.asarray(params.pop("fc.weight"))  # (classes, 2048)
     fc_b = jnp.asarray(params.pop("fc.bias"))
     model = InceptionV3FID(params, output_blocks=(3,))

@@ -5,10 +5,21 @@ the math is identical). The classifier is pluggable — any
 `logits_fn(batch) -> (B, num_classes)`; with the FID InceptionV3 weights
 present this can be its logits head, otherwise tests feed synthetic
 probabilities.
+
+Also a standalone CLI mirroring the reference's __main__
+(inception_score.py:93-103): `python -m ddgan_tpu.eval.inception_score
+--sample_dir <samples.npy | dir of per-image .npy>` loads uint8-range
+[0,255] images, clips, scores with splits=1 and prints mean/std. The
+classifier is the Flax FID-Inception logits head (real weights via
+DDGAN_TPU_INCEPTION_PATH, or seeded random logits via
+DDGAN_TPU_INCEPTION_RANDOM under zero egress).
 """
 
 from __future__ import annotations
 
+import argparse
+import os
+import time
 from typing import Callable, Sequence
 
 import numpy as np
@@ -49,3 +60,66 @@ def get_inception_score(
         e = np.exp(logits)
         all_probs.append(e / e.sum(axis=1, keepdims=True))
     return inception_score_from_probs(np.concatenate(all_probs), splits=splits)
+
+
+# --------------------------------------------------------------------------
+# standalone CLI (reference inception_score.py:93-103)
+def load_sample_array(path: str) -> np.ndarray:
+    """Load samples as (N, H, W, 3) float in [0, 255].
+
+    Accepts the reference's single .npy stack (N,3,H,W or N,H,W,3) or a
+    directory of per-image .npy files as written by `test_ddgan --save_npy`
+    (each (3,H,W), values in [0,1] → rescaled to [0,255])."""
+    if os.path.isdir(path):
+        files = sorted(
+            (f for f in os.listdir(path) if f.endswith(".npy")),
+            key=lambda f: (len(f), f),  # numeric-ish order for 0.npy..N.npy
+        )
+        if not files:
+            raise FileNotFoundError(f"No .npy files in {path}")
+        data = np.stack([np.load(os.path.join(path, f)) for f in files])
+    else:
+        data = np.load(path)
+    data = np.asarray(data, np.float32)
+    if data.ndim != 4:
+        raise ValueError(f"Expected 4-D sample array, got shape {data.shape}")
+    if data.shape[1] == 3 and data.shape[-1] != 3:
+        data = data.transpose(0, 2, 3, 1)  # NCHW → NHWC
+    if data.max() <= 1.0 + 1e-6:  # [0,1]-range saves → the CLI's [0,255] protocol
+        data = data * 255.0
+    return data
+
+
+def main(argv: Sequence[str] | None = None) -> tuple[float, float]:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sample_dir", default="./saved_samples/",
+        help="path to saved images (.npy stack or directory of .npy files)",
+    )
+    parser.add_argument("--splits", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=64)
+    opt = parser.parse_args(argv)
+
+    data = load_sample_array(opt.sample_dir)
+    data = np.clip(data, 0, 255)
+    print(
+        "Calculating Inception Score with %i images in %i splits"
+        % (data.shape[0], opt.splits)
+    )
+    start_time = time.time()
+
+    from .inception import default_logits_fn
+
+    logits_fn = default_logits_fn()
+    # classifier protocol: NHWC in [0,1] (resized to 299 inside)
+    m, s = get_inception_score(
+        list(data / 255.0), logits_fn, batch_size=opt.batch_size, splits=opt.splits
+    )
+    print("Inception Score calculation time: %f s" % (time.time() - start_time))
+    print("mean: ", m)
+    print("std: ", s)
+    return m, s
+
+
+if __name__ == "__main__":
+    main()

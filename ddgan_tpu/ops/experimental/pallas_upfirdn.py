@@ -180,18 +180,21 @@ up2x.defvjp(_up2x_fwd, _up2x_bwd)
 
 def fits_vmem(n, h, w, c, dtype, budget_bytes=14 * 1024 * 1024) -> bool:
     """Conservative VMEM check for the fused MXU kernel, sized for the
-    worst case (up2x): input slab in `dtype`, the two dot_general
+    worst case (up2x): DOUBLE-buffered input and output DMA blocks (the
+    grid pipeline keeps two of each in flight), the two dot_general
     intermediates s (Wo·H·Cb = 2HWC) and o (Ho·Wo·Cb = 4HWC) in f32
-    REGARDLESS of input dtype (preferred_element_type), the cast output
-    block in `dtype`, with 1.5x headroom for Mosaic temporaries and
-    double-buffered DMA."""
+    REGARDLESS of input dtype (preferred_element_type), the band
+    matrices, with 1.3x headroom for Mosaic temporaries."""
     cb = _cb(c)
     itemsize = jnp.dtype(dtype).itemsize
     slab = h * w * cb
+    # band matrices: mh (Ho, H) and mw (W, Wo) in f32, worst case up2x
+    bands = (2 * h) * h * 4 + w * (2 * w) * 4
     need = (
-        slab * itemsize          # input block
+        2 * slab * itemsize      # input block, double-buffered DMA
         + 2 * slab * 4           # s  (up to 2HWC, f32)
         + 4 * slab * 4           # o  (up to 4HWC, f32)
-        + 4 * slab * itemsize    # output block (up to 4HWC, dtype)
+        + 2 * 4 * slab * itemsize  # output block (up to 4HWC), double-buffered
+        + bands
     )
-    return need * 1.5 < budget_bytes
+    return need * 1.3 < budget_bytes

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-process JAX eval (TPU-friendly) or reference-style subprocess")
     p.add_argument("--scoring", choices=["combined", "stability"],
                    default="combined")
+    p.add_argument("--preset", choices=["pso", "pso-optim"], default="pso",
+                   help="'pso-optim' reproduces the reference's second HPO "
+                        "entry (pso-optim.py): stability scoring, FID off, "
+                        "num_epoch=5 per particle evaluation")
     return p
 
 
@@ -71,6 +75,14 @@ DEFAULT_SEARCH_SPACE = {
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    eval_num_epoch = 1
+    if args.preset == "pso-optim":
+        # the reference's pso-optim.py surface: stability-band scoring
+        # (pso-optim.py:396-445), FID disabled (:564), 5 epochs per
+        # evaluation (:366)
+        args.scoring = "stability"
+        args.with_FID = False
+        eval_num_epoch = 5
     logger = setup_logger(args.log_file)
 
     # base config (pso.py:573-600)
@@ -107,6 +119,7 @@ def main(argv=None):
         mode=args.eval_mode,
         scoring=args.scoring,
         with_fid=args.with_FID,
+        eval_num_epoch=eval_num_epoch,
     )
     pso = PSO(
         search_space=search_space,

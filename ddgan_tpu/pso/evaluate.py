@@ -26,12 +26,16 @@ from .scoring import combined_score, compute_loss, loss_stability_score
 logger = logging.getLogger("ddgan_tpu.pso")
 
 
-def prepare_config(base_config_path: str, hyperparams: Dict, unique_id: int):
-    """Temp config with exp=pso_eval_{id}, num_epoch=1. (pso.py:362-383)"""
+def prepare_config(
+    base_config_path: str, hyperparams: Dict, unique_id: int, num_epoch: int = 1
+):
+    """Temp config with exp=pso_eval_{id} and a short num_epoch —
+    1 for the pso.py surface (pso.py:362-383), 5 for the pso-optim.py
+    surface (pso-optim.py:366)."""
     config = load_json_to_dict(base_config_path)
     config.update(hyperparams)
     config["exp"] = f"pso_eval_{unique_id}"
-    config["num_epoch"] = 1
+    config["num_epoch"] = int(num_epoch)
     config["seed"] = config.get("seed", 42)
     new_path = f"./configs/config_{unique_id}.json"
     save_dict_to_json(config, new_path)
@@ -59,16 +63,21 @@ def make_evaluator(
     mode: str = "inprocess",
     scoring: str = "stability",
     with_fid: bool = False,
+    eval_num_epoch: int = 1,
 ) -> Callable[[Dict, int], float]:
     """Build evaluate(position, seed) -> score.
 
     scoring: 'stability' (pso-optim.py variant) or 'combined'
     (pso.py variant: 0.5 loss + 0.5 FID).
+    eval_num_epoch: epochs per particle evaluation (pso.py uses 1,
+    pso-optim.py uses 5 — pso-optim.py:366).
     """
 
     def evaluate(hyperparams: Dict, seed: int) -> float:
         unique_id = random.randint(0, int(1e6))
-        config_path, config = prepare_config(base_config_path, hyperparams, unique_id)
+        config_path, config = prepare_config(
+            base_config_path, hyperparams, unique_id, num_epoch=eval_num_epoch
+        )
         exp_path = os.path.join(
             "./saved_info/dd_gan", str(config["dataset"]), str(config["exp"])
         )

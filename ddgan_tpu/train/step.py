@@ -78,6 +78,12 @@ def _as_rbg_key(key: jnp.ndarray) -> jnp.ndarray:
         data = jax.random.key_data(key)
     else:
         data = key
+    # The tile-to-4-words trick assumes 2-word threefry key data. If
+    # jax_default_prng_impl were ever rbg/unsafe_rbg, raw keys would be
+    # 4 words already and tiling would build an invalid 8-word buffer.
+    if data.shape[-1] == 4:
+        return jax.random.wrap_key_data(data, impl="rbg")
+    assert data.shape[-1] == 2, f"unexpected PRNG key data shape {data.shape}"
     return jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
 
 

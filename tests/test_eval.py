@@ -131,3 +131,49 @@ def test_fid_inception_forward_shapes():
     assert outs[3].shape == (2, 1, 1, 2048)
     feats = model.pool_features(x)
     assert feats.shape == (2, 2048)
+
+
+def test_is_cli_load_sample_array(tmp_path):
+    """CLI input variants (ref inception_score.py:93-103 loads one .npy
+    stack; our test_ddgan --save_npy writes per-image (3,H,W) [0,1] files)."""
+    from ddgan_tpu.eval.inception_score import load_sample_array
+
+    rng = np.random.RandomState(0)
+    # single stack, NCHW, [0,255]
+    stack = rng.uniform(0, 255, (5, 3, 8, 8)).astype(np.float32)
+    np.save(tmp_path / "stack.npy", stack)
+    got = load_sample_array(str(tmp_path / "stack.npy"))
+    assert got.shape == (5, 8, 8, 3)
+    np.testing.assert_allclose(got, stack.transpose(0, 2, 3, 1))
+
+    # directory of per-image CHW files in [0,1] → rescaled to [0,255]
+    d = tmp_path / "samples"
+    d.mkdir()
+    imgs = rng.rand(12, 3, 8, 8).astype(np.float32)
+    for i, im in enumerate(imgs):
+        np.save(d / f"{i}.npy", im)
+    got = load_sample_array(str(d))
+    assert got.shape == (12, 8, 8, 3)
+    np.testing.assert_allclose(
+        got, imgs.transpose(0, 2, 3, 1) * 255.0, rtol=1e-6
+    )
+
+
+def test_inception_score_cli_random_space(tmp_path, monkeypatch, capsys):
+    """End-to-end IS CLI over a saved .npy stack with the zero-egress
+    random classifier (ref inception_score.py:93-103 protocol)."""
+    from ddgan_tpu.eval import inception_score
+
+    monkeypatch.setenv("DDGAN_TPU_INCEPTION_RANDOM", "0")
+    monkeypatch.delenv("DDGAN_TPU_INCEPTION_PATH", raising=False)
+    rng = np.random.RandomState(1)
+    stack = rng.uniform(0, 255, (4, 3, 16, 16)).astype(np.float32)
+    np.save(tmp_path / "samples.npy", stack)
+
+    m, s = inception_score.main(
+        ["--sample_dir", str(tmp_path / "samples.npy"), "--splits", "2",
+         "--batch_size", "2"]
+    )
+    out = capsys.readouterr().out
+    assert "mean: " in out and "std: " in out
+    assert np.isfinite(m) and np.isfinite(s) and m >= 1.0

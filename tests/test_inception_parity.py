@@ -12,6 +12,8 @@ eps, pooling patch (incl. Mixed_7c's kept max pool), resize protocol, or
 weight-transpose in ddgan_tpu/eval/inception.py fails these tests.
 """
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -96,3 +98,52 @@ def test_logits_head_parity(oracle, jax_params):
 
     err = _rel_err(got, ref)
     assert err < 1e-4, f"logits mismatch: rel err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Real-weight drop readiness (VERDICT r2 item 6). Zero egress means the
+# pt_inception-2015-12-05 checkpoint can never exist in THIS environment,
+# so this skips cleanly here — but any environment that has the file can
+# validate the whole import+forward path with:
+#   DDGAN_TPU_INCEPTION_PATH=/path/to/pt_inception-2015-12-05-6726825d.pth \
+#     python -m pytest tests/test_inception_parity.py -k real_weight -q
+_REAL_WEIGHTS = os.environ.get("DDGAN_TPU_INCEPTION_PATH")
+
+
+@pytest.mark.skipif(
+    not (_REAL_WEIGHTS and os.path.exists(_REAL_WEIGHTS)),
+    reason="real FID-Inception weights not present (zero-egress environment); "
+    "set DDGAN_TPU_INCEPTION_PATH to run",
+)
+def test_real_weight_drop_readiness():
+    """With the real checkpoint present: import through the production
+    loader (ref inception.py:22,193-217 protocol), run pool3 on a fixture
+    batch, and match an independent torch execution of the same weights."""
+    from ddgan_tpu.eval.inception import load_fid_inception_params
+
+    params = load_fid_inception_params()  # reads DDGAN_TPU_INCEPTION_PATH
+    model = InceptionV3FID(params, output_blocks=(3,))
+
+    rng = np.random.RandomState(0)
+    batch = rng.rand(2, 64, 64, 3).astype(np.float32)
+    feats = np.asarray(model.pool_features(batch))
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(feats).all()
+    assert feats.std() > 1e-4, "pool3 features degenerate"
+
+    from torch_inception_oracle import FIDInception3
+
+    sd = torch.load(_REAL_WEIGHTS, map_location="cpu", weights_only=False)
+    oracle = FIDInception3()
+    oracle.load_state_dict(
+        {k: v for k, v in sd.items() if not k.startswith("AuxLogits.")},
+        strict=False,
+    )
+    oracle.eval()
+    ref = (
+        oracle.feature_blocks(torch.from_numpy(batch.transpose(0, 3, 1, 2).copy()))[-1]
+        .numpy()
+        .reshape(2, 2048)
+    )
+    err = _rel_err(feats, ref)
+    assert err < 5e-3, f"real-weight pool3 mismatch: rel err {err:.2e}"

@@ -106,3 +106,45 @@ def test_pso_pool_backend_matches_sequential():
     best_mp, score_mp = run(True)
     assert score_mp == score_seq
     assert best_mp == best_seq
+
+
+def test_pso_optim_preset(tmp_path, monkeypatch):
+    """--preset pso-optim (and the root pso-optim.py wrapper) reproduces
+    the reference's second HPO entry: stability scoring, FID off,
+    num_epoch=5 per evaluation (pso-optim.py:366,396-445,564)."""
+    import ddgan_tpu.pso.cli as cli
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("configs")
+    with open("configs/config.json", "w") as f:
+        json.dump({"dataset": "synthetic", "exp": "x", "seed": 1}, f)
+    with open("configs/space.json", "w") as f:
+        json.dump({"lr_g": [1e-5, 1e-3], "step": {}}, f)
+
+    captured = {}
+
+    def fake_make_evaluator(base, mode, scoring, with_fid, eval_num_epoch):
+        captured.update(
+            scoring=scoring, with_fid=with_fid, eval_num_epoch=eval_num_epoch
+        )
+        return lambda pos, seed: pos["lr_g"]  # analytic: minimize lr_g
+
+    monkeypatch.setattr(cli, "make_evaluator", fake_make_evaluator)
+    best = cli.main(
+        ["--preset", "pso-optim", "--search_space", "configs/space.json",
+         "--num_particles", "3", "--num_iterations", "2"]
+    )
+    assert captured == {
+        "scoring": "stability", "with_fid": False, "eval_num_epoch": 5
+    }
+    assert os.path.exists("best_hyperparameters.json")
+    assert 1e-5 <= best["lr_g"] <= 1e-3
+
+
+def test_prepare_config_num_epoch_override(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("configs")
+    with open("configs/config.json", "w") as f:
+        json.dump({"dataset": "synthetic", "exp": "x"}, f)
+    _, config = prepare_config("configs/config.json", {}, 7, num_epoch=5)
+    assert config["num_epoch"] == 5
