@@ -131,21 +131,45 @@ def sample_and_test(args):
     if args.compute_fid:
         if not os.path.exists(args.real_img_dir):
             raise FileNotFoundError(f"Real image directory {args.real_img_dir} not found.")
+        from concurrent.futures import ThreadPoolExecutor
+
         total = int(args.num_fid_samples)
         per_call = batch_size * n_dev
         iters_needed = (total + per_call - 1) // per_call
+
+        # Pipelined generation (r2 VERDICT item 4): batch k+1 is DISPATCHED
+        # before batch k's device→host transfer, so the device never idles
+        # behind the relay round-trip; PNG/NPY encoding runs in worker
+        # threads off the dispatch path (PIL's zlib drops the GIL). The
+        # reference loop (test_ddgan.py:180-208) is fully serial.
+        def encode_batch(host_arr: np.ndarray, index0: int) -> None:
+            for j, x in enumerate(host_arr):
+                if args.save_npy:
+                    np.save(save_dir / f"{index0 + j}.npy", x.transpose(2, 0, 1))
+                save_image(
+                    x, save_dir / f"{index0 + j}.png", normalize=bool(args.normalize)
+                )
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        encode_futs = []
+        pending = None  # (device_array, n_keep, index0) of the in-flight batch
         index = 0
         for i in range(iters_needed):
             n = min(per_call, total - i * per_call)
-            fake, key = generate(key)
-            fake = fake[:n]
-            for x in fake:
-                if args.save_npy:
-                    np.save(save_dir / f"{index}.npy", x.transpose(2, 0, 1))
-                save_image(x, save_dir / f"{index}.png", normalize=bool(args.normalize))
-                index += 1
+            key, ks = jax.random.split(key)
+            cur = to_range_0_1(sampler(ks))  # async dispatch
+            if pending is not None:
+                dev, n_p, idx0 = pending
+                encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
+            pending = (cur, n, index)
+            index += n
             if (i + 1) % max(1, iters_needed // 2) == 0:
                 print(f"Generated {index}/{total} samples for {args.exp}")
+        dev, n_p, idx0 = pending
+        encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
+        for f in encode_futs:
+            f.result()  # propagate encode errors
+        pool.shutdown()
 
         from ..eval import calculate_fid_given_paths
 
