@@ -8,9 +8,12 @@ additionals/vali_show.py, main.py:9-69, the additionals convert helpers
 
 import json
 import os
+from pathlib import Path
 
 import numpy as np
 import pytest
+
+REPO = Path(__file__).resolve().parent.parent
 
 
 def test_vali_show_parses_iteration_log():
@@ -120,3 +123,26 @@ def test_simple_metrics_fid_same_vs_noise(tmp_path, monkeypatch):
     diff = calculate_fid(str(a), str(c), batch_size=8)
     assert np.isfinite(same) and np.isfinite(diff)
     assert diff > same
+
+
+@pytest.mark.skipif(
+    os.environ.get("DDGAN_TPU_MULTIHOST") != "1",
+    reason="launches 2 jax.distributed processes (serialize with the "
+    "one-core rule); set DDGAN_TPU_MULTIHOST=1 to run — or use "
+    "`python tools/multihost_dryrun.py` (evidence: MULTIHOST_r03.json)",
+)
+def test_multihost_two_process_dryrun():
+    """Real multi-process execution: rendezvous via init_processes, loader
+    shard partition, make_array_from_process_local_data assembly, and
+    cross-process pmean equality vs a single-process 2-device run."""
+    import subprocess
+    import sys as _sys
+
+    out = str(REPO / "MULTIHOST_r03.json")
+    subprocess.run(
+        [_sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
+         "--out", out],
+        check=True, timeout=1800,
+    )
+    with open(out) as f:
+        assert json.load(f)["ok"] is True

@@ -32,7 +32,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def capture(logdir: str, n_steps: int = 15, which: str = "flagship") -> None:
+def capture(
+    logdir: str, n_steps: int = 15, which: str = "flagship", batch: int = 0
+) -> None:
     import jax
 
     if which == "sampler":
@@ -40,11 +42,14 @@ def capture(logdir: str, n_steps: int = 15, which: str = "flagship") -> None:
     if which == "flagship":
         from bench import build_flagship_step
 
-        step, state, batch, key, lr_g, lr_d, *_ = build_flagship_step()
+        step, state, batch_, key, lr_g, lr_d, *_ = build_flagship_step()
     else:
         from tools.bench_extra import build_celeba256_step
 
-        step, state, batch, key, lr_g, lr_d, *_ = build_celeba256_step()
+        step, state, batch_, key, lr_g, lr_d, *_ = build_celeba256_step(
+            batch_size=batch or 4
+        )
+    batch = batch_
     for _ in range(3):  # compile + warm
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k, lr_g, lr_d)
@@ -180,11 +185,14 @@ def main():
         "--which", choices=["flagship", "celeba256", "sampler"], default="flagship"
     )
     ap.add_argument("--analyze-only", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="per-chip batch for celeba256 (default 4)")
+    ap.add_argument("--top", type=int, default=20)
     args = ap.parse_args()
 
     if not args.analyze_only:
-        capture(args.logdir, args.steps, args.which)
-    analyze(args.logdir, args.steps)
+        capture(args.logdir, args.steps, args.which, args.batch)
+    analyze(args.logdir, args.steps, args.top)
 
 
 if __name__ == "__main__":
