@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lazy_reg", type=int)
     p.add_argument("--save_content", action="store_true", default=None)
     p.add_argument("--save_content_every", type=int)
+    p.add_argument("--compute_dtype", type=str,
+                   help="conv/attn compute dtype: float32 or bfloat16 "
+                        "(params stay f32; TPU recipes want bfloat16)")
     p.add_argument("--save_ckpt_every", type=int)
     p.add_argument("--num_proc_node", type=int)
     p.add_argument("--num_process_per_node", type=int)

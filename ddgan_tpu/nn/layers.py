@@ -22,6 +22,7 @@ Layout: NHWC; channel axis is always the trailing axis.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -110,6 +111,28 @@ class ConvLayer(nn.Module):
         )(x)
 
 
+class _PairConv(nn.Module):
+    """Same params as nn.Conv (kernel/bias, identical shapes+inits) but the
+    forward runs the paired-pixel Pallas MXU kernel — used by Conv3x3 for
+    the narrow-channel (C_out=64) high-resolution levels where XLA leaves
+    half the MXU lanes idle (r3 celeba256 profile)."""
+
+    features: int
+    init_scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.experimental.pallas_conv import pair_conv3x3
+
+        kernel = self.param(
+            "kernel", default_init(self.init_scale),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+        return pair_conv3x3(x.astype(self.dtype), kernel, bias)
+
+
 class Conv3x3(nn.Module):
     """ddpm_conv3x3: 3x3 conv, default_init(init_scale), zero bias. (layers.py:131-138)"""
 
@@ -123,6 +146,24 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if (
+            os.environ.get("DDGAN_TPU_PALLAS_CONV") == "1"
+            and self.stride == 1
+            and self.dilation == 1
+            and self.padding == 1
+            and self.use_bias
+            and self.dtype == jnp.bfloat16
+        ):
+            from ..ops.experimental.pallas_conv import supported
+
+            if supported(
+                x.shape, (3, 3, x.shape[-1], self.features), jnp.bfloat16
+            ):
+                # identical param tree (conv/kernel + conv/bias, same
+                # shapes+inits) → checkpoints are flag-agnostic
+                return _PairConv(
+                    self.features, self.init_scale, self.dtype, name="conv"
+                )(x)
         return nn.Conv(
             self.features,
             kernel_size=(3, 3),

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Experiment: 3x3-conv formulations for the 256²/C=64 generator levels.
+
+The batch-8 celeba256 profile (r3) shows G's 3x3 convs at C=64 running at
+46-110 TFLOP/s while DiscriminatorLarge's C>=128 convs hit ~190: with only
+64 output channels the MXU's 128 lanes are half idle, and the fused
+GN/adaGN/SiLU prologue stalls the systolic array further (the r2 threefry
+lesson). Two candidate restructures, measured head-to-head on the chip:
+
+  conv   — plain lax.conv_general_dilated 3x3 (what flax emits), bf16
+  pair   — PAIRED-PIXEL formulation: kernel widened to [3,4,C,2*Cout]
+           (zeros where a tap doesn't belong to a sub-pixel), stride
+           (1,2): each output position computes TWO adjacent output
+           pixels as 2*Cout=128 lanes → full MXU width at 4/3x the
+           FLOPs, then a reshape restores [B,H,W,Cout].
+
+Each variant is also measured with the resblock's elementwise prologue
+(GroupNorm-normalize + adaGN scale/shift + SiLU) fused in front, and in
+forward+backward mode, chained K deep inside one jit (the tunnel costs
+~0.7 ms/dispatch). Timing barrier is a VALUE fetch (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def widen_pair_kernel(w3: np.ndarray) -> np.ndarray:
+    """[3,3,C,F] → [3,4,C,2F]: w4[ky,kx,c,p*F+f] = w3[ky,kx-p,c,f] (else 0)."""
+    kh, kw, c, f = w3.shape
+    assert (kh, kw) == (3, 3)
+    w4 = np.zeros((3, 4, c, 2 * f), w3.dtype)
+    for p in range(2):
+        for kx in range(4):
+            dx = kx - p
+            if 0 <= dx <= 2:
+                w4[:, kx, :, p * f : (p + 1) * f] = w3[:, dx]
+    return w4
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--ch", type=int, default=64)
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    B, S, C = args.batch, args.size, args.ch
+    K = args.chain
+    rng = np.random.RandomState(0)
+    w3 = (rng.randn(3, 3, C, C) * 0.05).astype(np.float32)
+    w4 = widen_pair_kernel(w3)
+    x0 = rng.randn(B, S, S, C).astype(np.float32)
+    gamma = (1 + 0.1 * rng.randn(B, C)).astype(np.float32)
+    beta = (0.1 * rng.randn(B, C)).astype(np.float32)
+
+    w3_b = jnp.asarray(w3, jnp.bfloat16)
+    w4_b = jnp.asarray(w4, jnp.bfloat16)
+    g_b = jnp.asarray(gamma, jnp.bfloat16)
+    b_b = jnp.asarray(beta, jnp.bfloat16)
+
+    def conv3(v, w):
+        return lax.conv_general_dilated(
+            v, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def conv_pair(v, w):
+        y = lax.conv_general_dilated(
+            v, w, (1, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, S, S//2, 2C) with channel = p*C + f  →  (B, S, S, C)
+        return y.reshape(B, S, S // 2, 2, C).reshape(B, S, S, C)
+
+    def prologue(v):
+        # GroupNorm(32 groups) normalize + adaGN scale/shift + SiLU, the
+        # chain XLA fuses into the conv prologue in the real model
+        g = 32
+        vg = v.reshape(B, S, S, g, C // g)
+        mean = jnp.mean(vg.astype(jnp.float32), axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(vg.astype(jnp.float32), axis=(1, 2, 4), keepdims=True)
+        n = ((vg - mean) * lax.rsqrt(var + 1e-6)).astype(v.dtype).reshape(v.shape)
+        n = n * g_b[:, None, None, :] + b_b[:, None, None, :]
+        return jax.nn.silu(n)
+
+    def make(fn, with_prologue):
+        def chain(v):
+            for _ in range(K):
+                v = fn(prologue(v) if with_prologue else v)
+            return v
+
+        fwd = jax.jit(chain)
+        grad = jax.jit(jax.grad(lambda v: jnp.sum(chain(v).astype(jnp.float32))))
+        return fwd, grad
+
+    flops3 = 2 * B * S * S * 9 * C * C * K
+    cases = {
+        "conv": (lambda v: conv3(v, w3_b), flops3),
+        "pair": (lambda v: conv_pair(v, w4_b), flops3),  # useful flops
+    }
+
+    x = jnp.asarray(x0, jnp.bfloat16)
+    results = {}
+    for name, (fn, fl) in cases.items():
+        for pro in (False, True):
+            for mode in ("fwd", "fwdbwd"):
+                fwd, grad = make(fn, pro)
+                run = fwd if mode == "fwd" else grad
+                out = run(x)
+                _ = float(out.reshape(-1)[0].astype(jnp.float32))
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = run(out)  # feed back: no CSE, same shapes
+                _ = float(out.reshape(-1)[0].astype(jnp.float32))
+                dt = (time.perf_counter() - t0) / args.iters
+                eff_fl = fl * (3 if mode == "fwdbwd" else 1)
+                key = f"{name}{'+pro' if pro else ''}:{mode}"
+                results[key] = {
+                    "ms_per_conv": round(dt * 1e3 / K, 3),
+                    "useful_tflops": round(eff_fl / dt / 1e12, 1),
+                }
+                print(f"{key:<18} {dt*1e3/K:7.3f} ms/conv-layer   "
+                      f"{eff_fl/dt/1e12:6.1f} useful TFLOP/s", flush=True)
+    print(json.dumps({"shape": [B, S, S, C], "chain": K, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

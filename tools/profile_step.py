@@ -135,9 +135,10 @@ def load_device_ops(logdir: str):
             yield e["name"], e["dur"], e.get("args") or {}
 
 
-def analyze(logdir: str, steps: int, top: int = 20) -> None:
+def analyze(logdir: str, steps: int, top: int = 20, dump: str | None = None) -> None:
     cat = collections.defaultdict(lambda: [0.0, 0, 0])  # us, flops, bytes
     prov = collections.defaultdict(lambda: [0.0, 0, 0])
+    byop = collections.defaultdict(lambda: [0.0, 0, 0, 0, None])  # +count, args
     total_us = 0.0
     for name, dur, a in load_device_ops(logdir):
         if "hlo_category" not in a:
@@ -149,6 +150,33 @@ def analyze(logdir: str, steps: int, top: int = 20) -> None:
             agg[k][0] += dur
             agg[k][1] += fl
             agg[k][2] += by
+        rec = byop[name]
+        rec[0] += dur
+        rec[1] += fl
+        rec[2] += by
+        rec[3] += 1
+        rec[4] = a
+
+    if dump:
+        # full per-HLO-op dump (incl. long_name HLO text) for offline digging
+        rows = sorted(byop.items(), key=lambda kv: -kv[1][0])
+        with open(dump, "w") as f:
+            json.dump(
+                [
+                    {
+                        "name": n,
+                        "us_total": r[0],
+                        "ms_per_step": r[0] / 1e3 / steps,
+                        "flops": r[1],
+                        "bytes": r[2],
+                        "count": r[3],
+                        "args": r[4],
+                    }
+                    for n, r in rows
+                ],
+                f, indent=1,
+            )
+        print(f"per-op dump ({len(rows)} ops) -> {dump}")
 
     print(f"total device op time: {total_us / 1e3 / steps:.2f} ms/step")
     hdr = f"{'category':<28}{'ms/step':>8}{'%':>6}{'GFLOP/st':>10}{'GB/st':>8}{'TFLOP/s':>9}{'GB/s':>7}"
@@ -188,11 +216,13 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="per-chip batch for celeba256 (default 4)")
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--dump", default=None,
+                    help="write a per-HLO-op JSON (with long_name) here")
     args = ap.parse_args()
 
     if not args.analyze_only:
         capture(args.logdir, args.steps, args.which, args.batch)
-    analyze(args.logdir, args.steps, args.top)
+    analyze(args.logdir, args.steps, args.top, args.dump)
 
 
 if __name__ == "__main__":
