@@ -24,6 +24,26 @@ Backward: custom_vjp — dx is the SAME paired kernel with the
 spatially-flipped, transposed weights; dW/db fall back to XLA (weight
 grads contract over B·H·W and are already efficient there).
 
+MEASURED DISPOSITION (r3, v5e chip, kept for the record — this kernel
+LOSES and stays gated off by default):
+  * v1 (in-kernel 2-axis slices): celeba256 batch-8 step 229.1 ms vs
+    175.8 XLA — Mosaic emitted a relayout per dot for the non-contiguous
+    (bh, wp, 2C) slice-reshape.
+  * v2 (this file: both column alignments staged outside, leading-axis
+    slices only): isolated chained microbench (tools/exp_conv256.py,
+    8×256²×64) fwd 2.94 ms/conv vs XLA conv 0.95 ms — still 3× slower.
+    The residual cost is the pair/unpair LANE relayouts at the kernel
+    boundary: the model keeps activations in 64-channel layout, so every
+    call pays 64→128-lane repacking of a 67 MB tensor on the way in and
+    the inverse on the way out, which exceeds the half-lane MXU waste it
+    was built to recover. The XLA-level widened-kernel 'pair' variant
+    loses the same way (1.12 vs 0.95 ms).
+  Conclusion: for C=64 at 256², XLA's native conv (~41 TF/s isolated,
+  46-61 TF/s fused in-model) IS the op-level ceiling on this hardware
+  unless the whole level (convs + elementwise between them) is rewritten
+  in paired layout — measured, documented, not pursued (est. ≤15 ms/step
+  on a 175.8 ms step for a deeply invasive change).
+
 Reference counterpart: the CUDA conv path this replaces is torch's cudnn
 conv used throughout /root/reference/score_sde/models; no CUDA source to
 mirror — this is a TPU-native formulation.
@@ -81,25 +101,32 @@ def _widen_weights(w3: jnp.ndarray) -> jnp.ndarray:
     return w6
 
 
-def _pair_kernel(w_ref, b_ref, x_ref, out_ref, acc_ref):
+def _pair_kernel(w_ref, b_ref, x0_ref, x1_ref, out_ref, acc_ref):
     """One (batch, H-block): 6 accumulating MXU dot_generals.
 
-    x_ref block: (1, 1, bh+2, Wp2, 2C) — padded rows with 1-row halo each
-    side, Wp2 = W/2 + 1 paired columns (1-col halo right).
+    x0/x1 blocks: (1, 1, bh+2, W/2, 2C) — padded rows with a 1-row halo
+    each side; x0 holds the dj=0 column pairs, x1 the dj=1 pairs (shifted
+    by one pair). Staging BOTH alignments outside the kernel means every
+    in-kernel slice is on the LEADING axis only, so the (bh, wp, 2C) →
+    (bh·wp, 2C) reshape is a free contiguous view — the v1 kernel sliced
+    the second axis too (xv[ky:ky+bh, dj:dj+wp]) and Mosaic emitted a
+    relayout copy per dot, which is why v1 LOST end-to-end (229 vs 176
+    ms/step).
     out block:   (1, 1, bh, W/2, 2F).
     """
     bh = out_ref.shape[2]
     wp = out_ref.shape[3]          # W/2 output pairs
-    c2 = x_ref.shape[-1]           # 2C
+    c2 = x0_ref.shape[-1]          # 2C
     f2 = out_ref.shape[-1]         # 2F = 128
-    xv = x_ref[0, 0]               # (bh+2, Wp2, 2C)
+    x0 = x0_ref[0, 0]              # (bh+2, W/2, 2C)
+    x1 = x1_ref[0, 0]
 
     acc_ref[...] = jnp.broadcast_to(
         b_ref[...].reshape(1, f2), (bh * wp, f2)
     ).astype(jnp.float32)
     for ky in range(3):
-        for dj in range(2):
-            a = xv[ky : ky + bh, dj : dj + wp, :].reshape(bh * wp, c2)
+        for dj, xv in ((0, x0), (1, x1)):
+            a = xv[ky : ky + bh].reshape(bh * wp, c2)
             acc_ref[...] += jax.lax.dot_general(
                 a,
                 w_ref[ky * 2 + dj],
@@ -119,13 +146,22 @@ def _pair_conv_raw(
     n_hb = h // bh
     wp = w // 2
 
-    # pad + pair + halo-stack (XLA side; slices of the same pad fuse)
+    # pad + both pair alignments + halo-stack (XLA side, fuses with the
+    # pad): x0 pairs padded cols (2j, 2j+1), x1 pairs (2j+2, 2j+3)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    xpp = xp.reshape(n, h + 2, (w + 2) // 2, 2 * c)
-    xb = jnp.stack(
-        [xpp[:, i * bh : i * bh + bh + 2] for i in range(n_hb)], axis=1
-    )  # (B, n_hb, bh+2, W/2+1, 2C)
+    x0 = xp[:, :, : w, :].reshape(n, h + 2, wp, 2 * c)
+    x1 = xp[:, :, 2 :, :].reshape(n, h + 2, wp, 2 * c)
 
+    def stack_h(v):
+        return jnp.stack(
+            [v[:, i * bh : i * bh + bh + 2] for i in range(n_hb)], axis=1
+        )  # (B, n_hb, bh+2, W/2, 2C)
+
+    xblk = pl.BlockSpec(
+        (1, 1, bh + 2, wp, 2 * c),
+        lambda i, j: (i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
         _pair_kernel,
         out_shape=jax.ShapeDtypeStruct((n, n_hb, bh, wp, f2), x.dtype),
@@ -135,11 +171,8 @@ def _pair_conv_raw(
                 (6, 2 * c, f2), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, f2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, bh + 2, wp + 1, 2 * c),
-                lambda i, j: (i, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            xblk,
+            xblk,
         ],
         out_specs=pl.BlockSpec(
             (1, 1, bh, wp, f2),
@@ -148,7 +181,7 @@ def _pair_conv_raw(
         ),
         scratch_shapes=[pltpu.VMEM((bh * wp, f2), jnp.float32)],
         interpret=_interpret(),
-    )(w6, bias2, xb)
+    )(w6, bias2, stack_h(x0), stack_h(x1))
     return out.reshape(n, h, w, f2 // 2)
 
 

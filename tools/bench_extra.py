@@ -81,8 +81,10 @@ def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
     }
 
 
-def build_celeba256_step(use_remat: bool = True, batch_size: int = 4):
-    """Construct the CelebA-HQ-256 recipe fused train step.
+def build_celeba256_step(
+    use_remat: bool = True, batch_size: int = 4, recipe: str = "celeba256"
+):
+    """Construct the CelebA-HQ-256 or LSUN-Church-256 recipe fused train step.
 
     Returns (step, state, batch, key, lr_g, lr_d, cfg) — shared by the
     bench below and profile_step.py --which celeba256.
@@ -98,14 +100,20 @@ def build_celeba256_step(use_remat: bool = True, batch_size: int = 4):
     from ddgan_tpu.train import create_train_state, make_optimizer, make_train_step
     from ddgan_tpu.train.loop import build_models
 
-    # CelebA-HQ 256 paper recipe (readme.md:50-57), batch sized for one v5e
+    # CelebA-HQ 256 paper recipe (readme.md:50-57) / LSUN Church Outdoor 256
+    # (readme.md:39-46: same net, T=4, batch 8/GPU, r1 1.0, ema 0.999,
+    # lr_d 1e-4, lr_g 1.6e-4), batch sized for one v5e
+    lsun = recipe == "lsun256"
     cfg = Config(
-        dataset="celeba_256", image_size=256, num_channels=3,
+        dataset="lsun" if lsun else "celeba_256",
+        image_size=256, num_channels=3,
         num_channels_dae=64, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
         attn_resolutions=[16], nz=100, z_emb_dim=256, n_mlp=3,
-        t_emb_dim=256, ngf=64, num_timesteps=2, batch_size=batch_size,
-        r1_gamma=2.0, lazy_reg=10, ema_decay=0.999, dropout=0.0,
-        disc_small="no", compute_dtype="bfloat16",
+        t_emb_dim=256, ngf=64,
+        num_timesteps=4 if lsun else 2, batch_size=batch_size,
+        r1_gamma=1.0 if lsun else 2.0, lazy_reg=10, ema_decay=0.999,
+        dropout=0.0, disc_small="no", compute_dtype="bfloat16",
+        **({"lr_d": 1e-4, "lr_g": 1.6e-4} if lsun else {}),
     )
     cfg.use_remat = use_remat  # not a schema key; NCSNpp.from_config getattr's it
     gen, disc = build_models(cfg)
@@ -146,12 +154,13 @@ def build_celeba256_step(use_remat: bool = True, batch_size: int = 4):
 
 
 def bench_celeba256(
-    n_steps: int = 10, use_remat: bool = True, batch_size: int = 4
+    n_steps: int = 10, use_remat: bool = True, batch_size: int = 4,
+    recipe: str = "celeba256",
 ) -> dict:
     import jax
 
     step, state, batch, key, lr_g, lr_d, cfg = build_celeba256_step(
-        use_remat, batch_size
+        use_remat, batch_size, recipe
     )
     n_dev = len(jax.devices())
 
@@ -167,7 +176,10 @@ def bench_celeba256(
     dt = time.perf_counter() - t0
     ms = dt / n_steps * 1e3
     return {
-        "metric": "celeba256_t2_train_ms_per_step"
+        "metric": (
+            "lsun256_t4_train_ms_per_step" if recipe == "lsun256"
+            else "celeba256_t2_train_ms_per_step"
+        )
         + ("" if use_remat else "_noremat"),
         "value": round(ms, 1),
         "unit": "ms/step",
@@ -177,14 +189,23 @@ def bench_celeba256(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["sampler", "celeba256", "celeba256-noremat"])
+    ap.add_argument(
+        "which",
+        choices=["sampler", "celeba256", "celeba256-noremat", "lsun256"],
+    )
     ap.add_argument("--batch", type=int, default=0,
                     help="per-chip batch (sampler default 256; celeba256 "
-                         "default 4, the recipe's per-GPU batch)")
+                         "default 4, the recipe's per-GPU batch; lsun256 "
+                         "default 8, its per-GPU batch)")
     args = ap.parse_args()
     if args.which == "sampler":
         out = bench_sampler(batch=args.batch or 256)
         out["batch_per_call"] = args.batch or 256
+    elif args.which == "lsun256":
+        out = bench_celeba256(
+            batch_size=args.batch or 8, recipe="lsun256"
+        )
+        out["batch_per_chip"] = args.batch or 8
     else:
         out = bench_celeba256(
             use_remat=(args.which == "celeba256"), batch_size=args.batch or 4

@@ -24,9 +24,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def widen_pair_kernel(w3: np.ndarray) -> np.ndarray:
@@ -105,10 +109,16 @@ def main():
         grad = jax.jit(jax.grad(lambda v: jnp.sum(chain(v).astype(jnp.float32))))
         return fwd, grad
 
+    from ddgan_tpu.ops.experimental.pallas_conv import pair_conv3x3
+
+    w3_f = jnp.asarray(w3)
+    bias0 = jnp.zeros((C,), jnp.float32)
+
     flops3 = 2 * B * S * S * 9 * C * C * K
     cases = {
         "conv": (lambda v: conv3(v, w3_b), flops3),
         "pair": (lambda v: conv_pair(v, w4_b), flops3),  # useful flops
+        "pallas": (lambda v: pair_conv3x3(v, w3_f, bias0), flops3),
     }
 
     x = jnp.asarray(x0, jnp.bfloat16)
