@@ -1,4 +1,4 @@
-from .fused_act import fused_leaky_relu
+from .fused_act import fused_bias_act, fused_leaky_relu
 from .resample import (
     conv_downsample_2d,
     downsample_2d,
@@ -11,6 +11,7 @@ from .resample import (
 from .upfirdn2d import upfirdn2d, upfirdn2d_ref
 
 __all__ = [
+    "fused_bias_act",
     "fused_leaky_relu",
     "upfirdn2d",
     "upfirdn2d_ref",

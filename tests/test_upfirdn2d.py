@@ -216,6 +216,34 @@ def test_fused_leaky_relu_matches_torch():
     )
 
 
+def test_fused_bias_act_modes():
+    """The CUDA switch's act modes (fused_bias_act_kernel.cu:20-51)."""
+    from ddgan_tpu.ops.fused_act import fused_bias_act, fused_leaky_relu
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+
+    # linear, kernel-default scale 1.0 == plain bias add
+    lin = fused_bias_act(x, b, act="linear", scale=1.0)
+    np.testing.assert_allclose(
+        np.asarray(lin), np.asarray(x + b.reshape(1, 1, 1, 3)), rtol=1e-6
+    )
+    # lrelu mode delegates to fused_leaky_relu
+    np.testing.assert_allclose(
+        np.asarray(fused_bias_act(x, b, act="lrelu")),
+        np.asarray(fused_leaky_relu(x, b)),
+        rtol=1e-6,
+    )
+    # differentiable to 2nd order in both modes (the CUDA grad/grad2 entries)
+    for act in ("linear", "lrelu"):
+        f = lambda v: jnp.sum(fused_bias_act(v, b, act=act) ** 2)
+        gg = jax.grad(lambda v: jnp.sum(jax.grad(f)(v) ** 2))(x)
+        assert gg.shape == x.shape and bool(jnp.all(jnp.isfinite(gg)))
+    with pytest.raises(ValueError):
+        fused_bias_act(x, b, act="selu")
+
+
 @pytest.mark.parametrize(
     "up,down,pad",
     [(1, 2, (1, 1)), (2, 1, (2, 1)), (1, 1, (1, 1)), (2, 2, (2, 1))],
