@@ -150,8 +150,20 @@ def sample_and_test(args):
                     x, save_dir / f"{index0 + j}.png", normalize=bool(args.normalize)
                 )
 
+        from collections import deque
+
         pool = ThreadPoolExecutor(max_workers=2)
-        encode_futs = []
+        encode_futs: deque = deque()
+
+        def submit_encode(batch):
+            # Backpressure: each queued future pins a full host batch, so
+            # bound the outstanding window instead of letting generation
+            # outrun the 2 encode workers (OOM at 50k × 256² otherwise).
+            while len(encode_futs) >= 4:
+                encode_futs.popleft().result()  # propagate encode errors
+            dev, n_p, idx0 = batch
+            encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
+
         pending = None  # (device_array, n_keep, index0) of the in-flight batch
         index = 0
         for i in range(iters_needed):
@@ -159,14 +171,13 @@ def sample_and_test(args):
             key, ks = jax.random.split(key)
             cur = to_range_0_1(sampler(ks))  # async dispatch
             if pending is not None:
-                dev, n_p, idx0 = pending
-                encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
+                submit_encode(pending)
             pending = (cur, n, index)
             index += n
             if (i + 1) % max(1, iters_needed // 2) == 0:
                 print(f"Generated {index}/{total} samples for {args.exp}")
-        dev, n_p, idx0 = pending
-        encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
+        if pending is not None:
+            submit_encode(pending)
         for f in encode_futs:
             f.result()  # propagate encode errors
         pool.shutdown()

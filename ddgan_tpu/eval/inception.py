@@ -447,6 +447,16 @@ def default_logits_fn(weights_path: str | None = None):
     used (scores are NOT comparable to published IS; loud warning printed).
     """
     rand_seed = os.environ.get(RANDOM_WEIGHTS_ENV)
+    if rand_seed is not None and (weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)):
+        # same loud conflict announcement as default_feature_fn: the
+        # real-weights path wins, and the score labeling must never be
+        # silently wrong.
+        print(
+            f"NOTE: both {RANDOM_WEIGHTS_ENV} and a weights path are set; "
+            f"using REAL weights from "
+            f"{weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)} and "
+            f"ignoring {RANDOM_WEIGHTS_ENV}={rand_seed}."
+        )
     if rand_seed is not None and not (
         weights_path or os.environ.get(DEFAULT_WEIGHTS_ENV)
     ):

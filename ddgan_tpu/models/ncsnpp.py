@@ -29,6 +29,21 @@ from ..nn.layers import Dense, Conv3x3, default_init, get_timestep_embedding
 from .registry import register_model
 
 
+def resolve_compute_dtype(name: Any) -> Any:
+    """config.compute_dtype → jnp dtype (None = f32). LOUD on unknown names:
+    a typo silently training in f32 at ~2× the step time is the exact
+    'modules silently running f32' pitfall measured in round 2."""
+    table = {"float32": None, "f32": None, "bfloat16": jnp.bfloat16,
+             "bf16": jnp.bfloat16}
+    key = str(name)
+    if key not in table:
+        raise ValueError(
+            f"compute_dtype={name!r} not supported on TPU; "
+            f"expected one of {sorted(table)}"
+        )
+    return table[key]
+
+
 @register_model(name="ncsnpp")
 class NCSNpp(nn.Module):
     """NCSN++ generator. Construct via `NCSNpp.from_config(cfg)`."""
@@ -61,11 +76,7 @@ class NCSNpp(nn.Module):
 
     @classmethod
     def from_config(cls, config: Any) -> "NCSNpp":
-        import jax.numpy as _jnp
-
-        dtype_name = str(getattr(config, "compute_dtype", "float32"))
-        dtype = {"float32": None, "bfloat16": _jnp.bfloat16,
-                 "bf16": _jnp.bfloat16}.get(dtype_name, None)
+        dtype = resolve_compute_dtype(getattr(config, "compute_dtype", "float32"))
         return cls(
             dtype=dtype,
             use_remat=bool(getattr(config, "use_remat", False)),

@@ -54,14 +54,15 @@ class AdaptiveGroupNorm(nn.Module):
             name="style",
         )(style)
         gamma, beta = jnp.split(s, 2, axis=-1)
-        # Folded normalize: gamma·GN(x)+beta ≡ x·a+b with per-(batch,channel)
-        # a = gamma·rstd, b = beta − mean·a precomputed in f32 from the group
-        # stats. The r3 256² profile showed the unfolded chain (full-tensor
-        # f32 normalize → cast → scale → shift) fused into every conv
-        # PROLOGUE, stalling the MXU at 46 vs 110 TFLOP/s for otherwise
-        # identical convs; folding leaves one compute-dtype multiply-add on
-        # the tensor. Same math as GroupNorm(affine=False) reassociated
-        # (eps=1e-6, biased variance), parity-guarded by the model tests.
+        # Folded normalize: gamma·GN(x)+beta ≡ (x−μ)·a+b with
+        # per-(batch,channel) a = gamma·rstd precomputed in f32 from the
+        # group stats. The r3 256² profile showed the unfolded chain
+        # (full-tensor f32 normalize → cast → scale → shift) fused into
+        # every conv PROLOGUE, stalling the MXU at 46 vs 110 TFLOP/s for
+        # otherwise identical convs; folding leaves a compute-dtype
+        # subtract-multiply-add on the tensor. Same math as
+        # GroupNorm(affine=False) reassociated (eps=1e-6, biased variance),
+        # parity-guarded by the model tests.
         g = self.num_groups
         b_, c = x.shape[0], x.shape[-1]
         cpg = c // g
@@ -76,13 +77,25 @@ class AdaptiveGroupNorm(nn.Module):
         var = s2.reshape(b_, g, cpg).mean(-1) - jnp.square(mean)
         rstd = jax.lax.rsqrt(var + 1e-6)  # [B, G]
         a_f = gamma.astype(jnp.float32) * jnp.repeat(rstd, cpg, axis=1)
-        b_f = beta.astype(jnp.float32) - jnp.repeat(mean, cpg, axis=1) * a_f
         dt = self.dtype if self.dtype is not None else jnp.result_type(
             x.dtype, jnp.float32
         )
-        return x.astype(dt) * a_f[:, None, None, :].astype(dt) + b_f[
-            :, None, None, :
-        ].astype(dt)
+        # Center with the COMPUTE-DTYPE-rounded mean and fold its rounding
+        # residual into the f32 bias: (x−μ_dt)·a + (β + (μ_dt−μ)·a). The
+        # naive x·a + (β−μ·a) form cancels catastrophically in bf16 when
+        # |μ| ≫ σ (x·a and b are large near-opposites with 8 mantissa
+        # bits); here x−μ_dt is exact-ish where it matters (x≈μ_dt) and
+        # the μ-rounding error is repaired exactly in f32, so output error
+        # stays O(2⁻⁹) of the output scale regardless of μ/σ. In f32
+        # compute the residual is 0 and this reduces to plain centering.
+        mu_c = jnp.repeat(mean, cpg, axis=1)  # [B, C] f32
+        mu_dt = mu_c.astype(dt)
+        b_f = beta.astype(jnp.float32) + (
+            mu_dt.astype(jnp.float32) - mu_c
+        ) * a_f
+        return (
+            x.astype(dt) - mu_dt[:, None, None, :]
+        ) * a_f[:, None, None, :].astype(dt) + b_f[:, None, None, :].astype(dt)
 
 
 class GaussianFourierProjection(nn.Module):

@@ -78,7 +78,7 @@ def supported(x_shape, w_shape, dtype) -> bool:
         and c <= 128
         and h == w
         and h >= 128
-        and h % 2 == 0
+        and h % 32 == 0  # _pair_conv_raw tiles H in block_h=32 rows
         and dtype in (jnp.bfloat16, jnp.dtype("bfloat16"))
     )
 

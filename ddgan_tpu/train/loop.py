@@ -38,10 +38,10 @@ from .pso_step import make_pso_train_step, make_pso_epoch_end, pad_epoch_losses
 
 
 def build_models(args):
+    from ..models.ncsnpp import resolve_compute_dtype
+
     gen = NCSNpp.from_config(args)
-    dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
-        str(getattr(args, "compute_dtype", "float32")), None
-    )
+    dtype = resolve_compute_dtype(getattr(args, "compute_dtype", "float32"))
     if str(getattr(args, "disc_small", "yes")).lower() == "yes":
         disc = DiscriminatorSmall(
             nc=2 * args.num_channels, ngf=args.ngf, t_emb_dim=args.t_emb_dim,

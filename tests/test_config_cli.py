@@ -96,3 +96,17 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.save_netg(tmp_path, 5, {"w": jnp.ones((2,))})
     payload = ckpt.load_netg(tmp_path / "netG_5.ckpt")
     np.testing.assert_array_equal(payload["params"]["w"], np.ones((2,)))
+
+
+def test_resolve_compute_dtype_validation():
+    """Unknown compute_dtype names must raise, not silently train f32
+    (the 'modules silently running f32' pitfall; review r3)."""
+    from ddgan_tpu.models.ncsnpp import resolve_compute_dtype
+
+    assert resolve_compute_dtype("float32") is None
+    assert resolve_compute_dtype("bf16") == jnp.bfloat16
+    assert resolve_compute_dtype("bfloat16") == jnp.bfloat16
+    with pytest.raises(ValueError, match="compute_dtype"):
+        resolve_compute_dtype("float16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        resolve_compute_dtype("bfloat_16")

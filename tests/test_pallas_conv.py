@@ -67,6 +67,9 @@ def test_supported_gate():
     assert not supported((2, 128, 128, 64), (3, 3, 64, 128), jnp.bfloat16)  # F=128
     assert not supported((2, 128, 128, 64), (3, 3, 64, 64), jnp.float32)  # f32
     assert not supported((2, 128, 130, 64), (3, 3, 64, 64), jnp.bfloat16)  # H≠W
+    # H must divide into block_h=32 rows: 136² would truncate n_hb=h//32
+    # and fail the output reshape at trace time
+    assert not supported((2, 136, 136, 64), (3, 3, 64, 64), jnp.bfloat16)
 
 
 def test_conv3x3_gate_uses_pallas(monkeypatch):

@@ -227,7 +227,15 @@ def orchestrate(out_json: str) -> int:
         )
         for r in range(2)
     ]
-    codes = [p.wait(timeout=1800) for p in procs]
+    try:
+        codes = [p.wait(timeout=1800) for p in procs]
+    finally:
+        # never leave an orphan holding the coordinator port (one-core
+        # host: a hung rank would also block every later python job)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     assert codes == [0, 0], f"child exit codes {codes}"
 
     with open(single_out) as f:

@@ -108,13 +108,19 @@ def n_logged_epochs(exp_path: Path) -> int:
 
 
 def snapshot_raw_netg(exp_path: Path) -> int:
-    """content.ckpt's RAW params_G → netG_{90000+epoch}.ckpt; returns epoch."""
+    """content.ckpt's RAW params_G → netG_{90000+e}.ckpt; returns e.
+
+    content.ckpt's epoch field is the RESUME epoch (the train loop stores
+    loop_epoch+1 before saving — loop.py:257 vs :279), so the raw params
+    correspond to the end of loop epoch `field-1`, which is also the label
+    of the EMA netG_{field-1}.ckpt written at that same epoch end.
+    """
     from flax import serialization
 
     restored = serialization.msgpack_restore(
         open(exp_path / "content.ckpt", "rb").read()
     )
-    epoch = int(np.asarray(restored["epoch"]))
+    epoch = int(np.asarray(restored["epoch"])) - 1
     from ddgan_tpu.train.checkpoint import save_netg
 
     save_netg(exp_path, 90000 + epoch, restored["params_G"],
@@ -222,6 +228,14 @@ def main():
             "--generated_samples_dir", str(root / f"gen_{epoch_id}"),
             "--fid_output_path", str(root / f"fid_{epoch_id}.txt"),
         ]))
+
+    # discover raw snapshots from disk so --skip-train reruns work too
+    disk_raw = sorted(
+        int(p.stem.split("_")[1]) - 90000
+        for p in exp_path.glob("netG_9????.ckpt")
+        if int(p.stem.split("_")[1]) >= 90000
+    )
+    raw_snapshots = sorted(set(raw_snapshots) | set(disk_raw))
 
     ema_curve = []
     for p in sorted(exp_path.glob("netG_*.ckpt")):
