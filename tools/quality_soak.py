@@ -87,7 +87,7 @@ def train_cmd(args, num_epoch: int, resume: bool) -> list[str]:
         "--compute_dtype", "bfloat16",
         "--to_tensor_transform", "yes", "--use_normalize", "yes",
         "--exp", "soak", "--seed", str(args.seed),
-        "--save_content", "--save_content_every", "5",
+        "--save_content", "--save_content_every", str(args.content_every),
         "--save_ckpt_every", str(args.ckpt_every),
         "--num_workers", "2",
         "--num_epoch", str(num_epoch),
@@ -108,12 +108,16 @@ def n_logged_epochs(exp_path: Path) -> int:
 
 
 def snapshot_raw_netg(exp_path: Path) -> int:
-    """content.ckpt's RAW params_G → netG_{90000+e}.ckpt; returns e.
+    """content.ckpt's RAW params_G → netG_{90000+e}.ckpt AND its EMA tree
+    → netG_{80000+e}.ckpt; returns e.
 
-    content.ckpt's epoch field is the RESUME epoch (the train loop stores
-    loop_epoch+1 before saving — loop.py:257 vs :279), so the raw params
-    correspond to the end of loop epoch `field-1`, which is also the label
-    of the EMA netG_{field-1}.ckpt written at that same epoch end.
+    Both trees come from the SAME content.ckpt, so the raw-vs-EMA FID
+    comparison is at the identical training epoch (segment boundaries
+    don't land on save_ckpt_every multiples, so the regular netG_e.ckpt
+    EMA curve has no entry at e). content.ckpt's epoch field is the
+    RESUME epoch (the train loop stores loop_epoch+1 before saving —
+    loop.py:257 vs :279), so the params correspond to the end of loop
+    epoch `field-1`.
     """
     from flax import serialization
 
@@ -125,6 +129,9 @@ def snapshot_raw_netg(exp_path: Path) -> int:
 
     save_netg(exp_path, 90000 + epoch, restored["params_G"],
               restored.get("buffers_G") or None)
+    if restored.get("ema_G"):
+        save_netg(exp_path, 80000 + epoch, restored["ema_G"],
+                  restored.get("buffers_G") or None)
     return epoch
 
 
@@ -142,6 +149,14 @@ def main():
                     help="hard-SIGKILL the first segment once losses.json "
                          "shows this many epochs, then --resume")
     ap.add_argument("--ckpt-every", type=int, default=10)
+    ap.add_argument("--content-every", type=int, default=5,
+                    help="save_content_every for the train CLI (each content "
+                         "save costs ~1-3 min of device→host transfer through "
+                         "the chip tunnel)")
+    ap.add_argument("--resume-first", action="store_true",
+                    help="first segment starts with --resume (continue a soak "
+                         "whose driver process died); the kill+resume already "
+                         "in train_log.txt is recorded as a prior event")
     ap.add_argument("--fid-samples", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skip-train", action="store_true")
@@ -199,7 +214,13 @@ def main():
     raw_snapshots = []
     if not args.skip_train:
         first = args.segments[0]
-        status = run_train(first, resume=False, kill_after=args.kill_after_epochs)
+        if args.resume_first:
+            events.append({
+                "event": "resume_from_prior_driver_run",
+                "at_logged_epoch": n_logged_epochs(exp_path),
+            })
+        status = run_train(first, resume=args.resume_first,
+                           kill_after=args.kill_after_epochs)
         if status == "killed":
             run_train(first, resume=True)  # THE kill+resume evidence
         raw_snapshots.append(snapshot_raw_netg(exp_path))
@@ -240,7 +261,7 @@ def main():
     ema_curve = []
     for p in sorted(exp_path.glob("netG_*.ckpt")):
         e = int(p.stem.split("_")[1])
-        if e >= 90000:
+        if e >= 80000:  # 8xxxx/9xxxx boundary snapshots, not the curve
             continue
         t0 = time.time()
         fid = fid_of(e)
@@ -251,9 +272,12 @@ def main():
     ema_vs_raw = []
     for e in raw_snapshots:
         raw_fid = fid_of(90000 + e)
-        ema_fid = next(
-            (r["fid_ema"] for r in ema_curve if r["epoch"] == e), None
-        )
+        if (exp_path / f"netG_{80000 + e}.ckpt").exists():
+            ema_fid = fid_of(80000 + e)  # EMA tree from the same content.ckpt
+        else:
+            ema_fid = next(
+                (r["fid_ema"] for r in ema_curve if r["epoch"] == e), None
+            )
         ema_vs_raw.append({"epoch": e, "fid_raw": raw_fid, "fid_ema": ema_fid})
         print(f"epoch {e}: raw {raw_fid:.3f} vs EMA {ema_fid}", flush=True)
 
