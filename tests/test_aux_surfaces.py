@@ -125,6 +125,40 @@ def test_simple_metrics_fid_same_vs_noise(tmp_path, monkeypatch):
     assert diff > same
 
 
+def test_quality_soak_snapshots_raw_and_ema(tmp_path):
+    """The soak's EMA-vs-raw FID evidence hinges on snapshot_raw_netg
+    writing BOTH trees out of the same content.ckpt with matching epoch
+    labels (segment boundaries never land on save_ckpt_every multiples,
+    so the regular netG_e.ckpt curve can't supply the EMA side)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "tools"))
+    from flax import serialization
+
+    from quality_soak import snapshot_raw_netg
+
+    raw = {"w": np.full((3,), 2.0, np.float32)}
+    ema = {"w": np.full((3,), 5.0, np.float32)}
+    content = {
+        "epoch": np.asarray(13, np.int32),  # resume epoch = loop epoch 12
+        "params_G": raw,
+        "ema_G": ema,
+        "buffers_G": {},
+    }
+    with open(tmp_path / "content.ckpt", "wb") as f:
+        f.write(serialization.msgpack_serialize(content))
+
+    e = snapshot_raw_netg(tmp_path)
+    assert e == 12
+
+    from ddgan_tpu.train.checkpoint import load_netg
+
+    got_raw = load_netg(tmp_path / "netG_90012.ckpt")["params"]
+    got_ema = load_netg(tmp_path / "netG_80012.ckpt")["params"]
+    np.testing.assert_array_equal(got_raw["w"], raw["w"])
+    np.testing.assert_array_equal(got_ema["w"], ema["w"])
+
+
 @pytest.mark.skipif(
     os.environ.get("DDGAN_TPU_MULTIHOST") != "1",
     reason="launches 2 jax.distributed processes (serialize with the "
