@@ -28,7 +28,11 @@ from .state import TrainState
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # ONE batched device→host gather: jax.device_get starts every leaf's
+    # async copy before blocking. Mapping np.asarray over leaves paid a
+    # full relay round-trip PER LEAF (hundreds for NCSNpp), inflating
+    # epoch-boundary saves to minutes through the chip tunnel.
+    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 def save_content(exp_path: str | Path, state: TrainState, args: Any) -> None:
