@@ -164,23 +164,28 @@ def sample_and_test(args):
             dev, n_p, idx0 = batch
             encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
 
-        pending = None  # (device_array, n_keep, index0) of the in-flight batch
-        index = 0
-        for i in range(iters_needed):
-            n = min(per_call, total - i * per_call)
-            key, ks = jax.random.split(key)
-            cur = to_range_0_1(sampler(ks))  # async dispatch
+        try:
+            pending = None  # (device_array, n_keep, index0) of the in-flight batch
+            index = 0
+            for i in range(iters_needed):
+                n = min(per_call, total - i * per_call)
+                key, ks = jax.random.split(key)
+                cur = to_range_0_1(sampler(ks))  # async dispatch
+                if pending is not None:
+                    submit_encode(pending)
+                pending = (cur, n, index)
+                index += n
+                if (i + 1) % max(1, iters_needed // 2) == 0:
+                    print(f"Generated {index}/{total} samples for {args.exp}")
             if pending is not None:
                 submit_encode(pending)
-            pending = (cur, n, index)
-            index += n
-            if (i + 1) % max(1, iters_needed // 2) == 0:
-                print(f"Generated {index}/{total} samples for {args.exp}")
-        if pending is not None:
-            submit_encode(pending)
-        for f in encode_futs:
-            f.result()  # propagate encode errors
-        pool.shutdown()
+            for f in encode_futs:
+                f.result()  # propagate encode errors
+        finally:
+            # Stop encode workers deterministically even when a worker or
+            # the dispatch loop raises — no threads keep writing PNGs
+            # after the exception surfaces.
+            pool.shutdown(wait=True, cancel_futures=True)
 
         from ..eval import calculate_fid_given_paths
 
@@ -213,6 +218,13 @@ def sample_and_test(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     return sample_and_test(args)
+
+
+def entry() -> int:
+    """Console-script wrapper: main() returns the FID (a float) for
+    programmatic callers; exit codes must stay 0-on-success."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

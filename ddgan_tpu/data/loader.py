@@ -99,17 +99,60 @@ class DataLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _vectorized_transform(self):
+        """(scale, mean, std) when the dataset's transform pipeline is
+        expressible as one vectorized batch op (ToTensor → Normalize, the
+        CIFAR recipe's exact pipeline), else None. Lets uint8 array-backed
+        datasets skip the per-image PIL round trip entirely — at flagship
+        step rate (~1.6k images/s, one host core) the per-image path is
+        the bottleneck, the batch path is not (tools/bench_host_loader.py)."""
+        from .transforms import Compose, Normalize, ToTensor
+
+        tf = getattr(self.dataset, "transform", None)
+        if tf is None:
+            return (1.0, None, None)
+        if not isinstance(tf, Compose):
+            return None
+        scale, mean, std = 1.0, None, None
+        for t in tf.transforms:
+            if isinstance(t, ToTensor):
+                scale = 1.0 / 255.0
+            elif isinstance(t, Normalize) and mean is None:
+                mean, std = t.mean, t.std
+            else:
+                return None
+        return (scale, mean, std)
+
     def _make_batch(self, idx_chunk) -> tuple[np.ndarray, np.ndarray]:
-        # vectorized fast path: array-backed datasets (e.g. SyntheticDataset,
-        # preloaded tensors) gather the whole batch in one numpy indexing op
+        # vectorized fast path: array-backed datasets (SyntheticDataset,
+        # preloaded tensors, CIFAR-10 pickles) gather the whole batch in one
+        # numpy indexing op; ToTensor/Normalize apply batch-wise
         data = getattr(self.dataset, "data", None)
-        if (
-            isinstance(data, np.ndarray)
-            and data.dtype == np.float32
-            and getattr(self.dataset, "transform", None) is None
+        if isinstance(data, np.ndarray) and data.ndim == 4 and data.dtype in (
+            np.float32,
+            np.uint8,
         ):
-            idx = np.asarray(idx_chunk, dtype=np.int64)
-            return data[idx], np.ones(len(idx), dtype=np.int64)
+            vt = self._vectorized_transform()
+            # uint8 data is only eligible when ToTensor is present (its /255
+            # is what the per-image path would apply; without it the slow
+            # path's float32 cast semantics differ)
+            if vt is not None and (data.dtype == np.float32 or vt[0] != 1.0):
+                scale, mean, std = vt
+                if data.dtype != np.uint8:
+                    scale = 1.0  # ToTensor does NOT rescale non-uint8 input
+                idx = np.asarray(idx_chunk, dtype=np.int64)
+                batch = data[idx].astype(np.float32)
+                if scale != 1.0:
+                    batch *= np.float32(scale)
+                if mean is not None:
+                    batch -= mean.reshape(1, 1, 1, -1)
+                    batch /= std.reshape(1, 1, 1, -1)
+                targets = getattr(self.dataset, "targets", None)
+                if targets is not None:
+                    labels = np.asarray(targets, dtype=np.int64)[idx]
+                else:
+                    labels = np.ones(len(idx), dtype=np.int64)
+                return batch, labels
         imgs, labels = [], []
         for i in idx_chunk:
             item = self.dataset[int(i)]

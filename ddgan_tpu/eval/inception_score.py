@@ -64,13 +64,20 @@ def get_inception_score(
 
 # --------------------------------------------------------------------------
 # standalone CLI (reference inception_score.py:93-103)
-def load_sample_array(path: str) -> np.ndarray:
+def load_sample_array(path: str, value_range: str = "auto") -> np.ndarray:
     """Load samples as (N, H, W, 3) float in [0, 255].
 
     Accepts the reference's single .npy stack (N,3,H,W or N,H,W,3) or a
     directory of per-image .npy files as written by `test_ddgan --save_npy`
-    (each (3,H,W), values in [0,1] → rescaled to [0,255])."""
-    if os.path.isdir(path):
+    (each (3,H,W), values in [0,1] → rescaled to [0,255]).
+
+    value_range: "255" (input already [0,255]), "1" (input [0,1], always
+    rescale ×255), or "auto" — a per-image-dir (the --save_npy protocol,
+    always [0,1]) rescales; a single stack rescales only when max ≤ 1 and
+    PRINTS the inferred range so a legitimately near-black [0,255] stack
+    is not silently misscaled."""
+    is_dir = os.path.isdir(path)
+    if is_dir:
         files = sorted(
             (f for f in os.listdir(path) if f.endswith(".npy")),
             key=lambda f: (len(f), f),  # numeric-ish order for 0.npy..N.npy
@@ -85,8 +92,20 @@ def load_sample_array(path: str) -> np.ndarray:
         raise ValueError(f"Expected 4-D sample array, got shape {data.shape}")
     if data.shape[1] == 3 and data.shape[-1] != 3:
         data = data.transpose(0, 2, 3, 1)  # NCHW → NHWC
-    if data.max() <= 1.0 + 1e-6:  # [0,1]-range saves → the CLI's [0,255] protocol
+    if value_range == "1":
         data = data * 255.0
+    elif value_range == "auto":
+        if is_dir:  # --save_npy per-image protocol is always [0,1]
+            data = data * 255.0
+        elif data.max() <= 1.0 + 1e-6:
+            print(
+                f"inferred [0,1] input range (max={data.max():.4g}); "
+                "rescaling ×255 — pass --range 255 if this stack is "
+                "genuinely near-black [0,255] data"
+            )
+            data = data * 255.0
+    elif value_range != "255":
+        raise ValueError(f"unknown value_range {value_range!r}")
     return data
 
 
@@ -98,9 +117,15 @@ def main(argv: Sequence[str] | None = None) -> tuple[float, float]:
     )
     parser.add_argument("--splits", type=int, default=1)
     parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument(
+        "--range", dest="value_range", choices=["auto", "255", "1"],
+        default="auto",
+        help="input value range: 255 = already [0,255]; 1 = [0,1] (rescale "
+             "×255); auto = per-image dirs rescale, stacks infer by max",
+    )
     opt = parser.parse_args(argv)
 
-    data = load_sample_array(opt.sample_dir)
+    data = load_sample_array(opt.sample_dir, value_range=opt.value_range)
     data = np.clip(data, 0, 255)
     print(
         "Calculating Inception Score with %i images in %i splits"

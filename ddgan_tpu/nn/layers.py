@@ -133,6 +133,48 @@ class _PairConv(nn.Module):
         return pair_conv3x3(x.astype(self.dtype), kernel, bias)
 
 
+class _S2DConv(nn.Module):
+    """Same params as nn.Conv (kernel/bias, identical shapes+inits) but the
+    forward runs in the width-s2d layout (ops/s2d.py): pack width pixel
+    pairs into channels so a C=64 level contracts over 128 = full MXU
+    lanes. The [3,3,C,F] parameter is widened to [3,3,2C,2F] inside the
+    step (a differentiable gather — checkpoints unchanged); dense FLOPs
+    double but lane-full convs run ~3-4x faster per dense FLOP at the
+    256²/C=64 shape (tools/exp_conv256.py)."""
+
+    features: int
+    init_scale: float = 1.0
+    dtype: Any = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import conv3x3_s2d, s2d_width, un_s2d_width, widen_s2d_kernel
+
+        kernel = self.param(
+            "kernel", default_init(self.init_scale),
+            (3, 3, x.shape[-1], self.features),
+        )
+        wide = widen_s2d_kernel(kernel)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            wide = wide.astype(self.dtype)
+        y = un_s2d_width(conv3x3_s2d(s2d_width(x), wide))
+        if self.use_bias:
+            bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _s2d_eligible(x: jnp.ndarray, features: int) -> bool:
+    """Width-s2d pays off when the conv underfills the 128 MXU lanes and
+    the spatial extent is large enough for the relayout to amortize."""
+    b, h, w, c = x.shape
+    return (
+        c <= 64 and features <= 64 and w % 2 == 0 and h * w >= 128 * 128
+    )
+
+
 class Conv3x3(nn.Module):
     """ddpm_conv3x3: 3x3 conv, default_init(init_scale), zero bias. (layers.py:131-138)"""
 
@@ -146,6 +188,19 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if (
+            os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
+            and self.stride == 1
+            and self.dilation == 1
+            and self.padding == 1
+            and _s2d_eligible(x, self.features)
+        ):
+            # identical param tree (conv/kernel + conv/bias, same
+            # shapes+inits) → checkpoints are flag-agnostic
+            return _S2DConv(
+                self.features, self.init_scale, self.dtype,
+                use_bias=self.use_bias, name="conv",
+            )(x)
         if (
             os.environ.get("DDGAN_TPU_PALLAS_CONV") == "1"
             and self.stride == 1

@@ -37,14 +37,20 @@ def fused_bias_act(
     bias: jnp.ndarray | None = None,
     act: str = "lrelu",
     alpha: float = 0.2,
-    scale: float = math.sqrt(2.0),
+    scale: float | None = None,
 ) -> jnp.ndarray:
     """The CUDA kernel's full act switch (fused_bias_act_kernel.cu:20-51).
 
-    act="linear": (x + b) * scale   (the kernel's cases 1-2; its default
-    scale for linear is 1.0 — pass scale=1.0 to match exactly).
-    act="lrelu":  leaky_relu(x + b, alpha) * scale  (cases 3-5).
+    act="linear": (x + b) * scale   (the kernel's cases 1-2, default
+    scale 1.0).
+    act="lrelu":  leaky_relu(x + b, alpha) * scale  (cases 3-5, default
+    scale sqrt(2)).
+
+    scale=None resolves to the per-act kernel default above, so the
+    default call matches the reference kernel for BOTH modes.
     """
+    if scale is None:
+        scale = 1.0 if act == "linear" else math.sqrt(2.0)
     if act == "linear":
         if bias is not None:
             x = x + bias.reshape((1,) * (x.ndim - 1) + (-1,))

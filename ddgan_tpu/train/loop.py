@@ -67,6 +67,42 @@ def _limited_iter(args):
     return None
 
 
+def build_loader(args, dataset, host_batch: int) -> DataLoader:
+    """Host-sharded DataLoader with the reference's construction-failure
+    fallback (ddgan.py:262-269) — factored out so the multi-host
+    regression can exercise it directly."""
+    try:
+        loader = DataLoader(
+            dataset,
+            batch_size=host_batch,
+            shuffle=True,
+            drop_last=True,
+            num_shards=jax.process_count(),
+            shard_id=jax.process_index(),
+            num_workers=getattr(args, "num_workers", 0),
+            seed=int(args.seed),
+        )
+        len(loader)  # force index/shard validation now, like torch's ctor
+        return loader
+    except Exception as e:
+        # fallback analog of ddgan.py:262-269: retry without the
+        # distributed sampler (here: without host sharding). Only safe
+        # single-process: with >1 hosts an unsharded retry would feed
+        # every host the FULL dataset and silently change global batch
+        # statistics, so re-raise instead.
+        if jax.process_count() > 1:
+            raise
+        print("An error occurred when attempting to use the data loader:", e)
+        return DataLoader(
+            dataset,
+            batch_size=host_batch,
+            shuffle=True,
+            drop_last=True,
+            num_workers=getattr(args, "num_workers", 0),
+            seed=int(args.seed),
+        )
+
+
 def train(args, dataset=None, mesh=None):
     """Run training. `args` is a Config or any attribute bag with the
     reference's schema. Returns the final TrainState."""
@@ -86,30 +122,7 @@ def train(args, dataset=None, mesh=None):
     # each host loads batch_size × local_device_count and shard_batch then
     # gives every chip exactly batch_size samples.
     host_batch = int(args.batch_size) * jax.local_device_count()
-    try:
-        loader = DataLoader(
-            dataset,
-            batch_size=host_batch,
-            shuffle=True,
-            drop_last=True,
-            num_shards=jax.process_count(),
-            shard_id=jax.process_index(),
-            num_workers=getattr(args, "num_workers", 0),
-            seed=int(args.seed),
-        )
-        len(loader)  # force index/shard validation now, like torch's ctor
-    except Exception as e:
-        # fallback analog of ddgan.py:262-269: retry without the
-        # distributed sampler (here: without host sharding)
-        print("An error occurred when attempting to use the data loader:", e)
-        loader = DataLoader(
-            dataset,
-            batch_size=host_batch,
-            shuffle=True,
-            drop_last=True,
-            num_workers=getattr(args, "num_workers", 0),
-            seed=int(args.seed),
-        )
+    loader = build_loader(args, dataset, host_batch)
 
     gen, disc = build_models(args)
 

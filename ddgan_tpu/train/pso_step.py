@@ -48,7 +48,8 @@ class PSOTrainState:
 
 
 def create_pso_train_state(
-    key, gen, disc, pso: AdaptivePSO, image_shape, nz, batch=2, use_ema=True
+    key, gen, disc, pso: AdaptivePSO, image_shape, nz, batch=2, use_ema=True,
+    buf_len: int = _BUF,
 ) -> PSOTrainState:
     kg, kd, kdrop, kpg, kpd = jax.random.split(key, 5)
     h, w, c = image_shape
@@ -66,8 +67,8 @@ def create_pso_train_state(
         pso_G=pso.init(kpg, params_G),
         pso_D=pso.init(kpd, params_D),
         ema_G=ema_init(params_G) if use_ema else None,
-        loss_buf_G=jnp.zeros((_BUF,)),
-        loss_buf_D=jnp.zeros((_BUF,)),
+        loss_buf_G=jnp.zeros((buf_len,)),
+        loss_buf_D=jnp.zeros((buf_len,)),
         buf_count_G=jnp.zeros((), jnp.int32),
         buf_count_D=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
@@ -79,7 +80,13 @@ def make_pso_train_step(
     gen, disc, coeff, pos_coeff, pso: AdaptivePSO,
     *, num_timesteps, nz, ema_decay, use_ema,
     mesh: Mesh | None = None, axis_name: str = "data", donate: bool = True,
+    trigger: int = 20,
 ):
+    """trigger: the swarm update fires once MORE THAN this many losses
+    have accumulated (reference hardcodes 20, ddgan.py:491/:513); the
+    state's ring buffers must hold trigger+1 entries
+    (create_pso_train_state(buf_len=trigger+1)). Non-default values are
+    for tests that exercise the identical protocol at shorter length."""
     def apply_D(params_D, x, t, x_t):
         return disc.apply({"params": params_D}, x, t, x_t).reshape(-1)
 
@@ -129,9 +136,10 @@ def make_pso_train_step(
             errD_fake = jax.lax.pmean(errD_fake, axis_name)
 
         # ---- accumulate & maybe swarm-step (ddgan.py:491-493, :513-515)
-        loss_buf_D = state.loss_buf_D.at[state.buf_count_D % _BUF].set(errD)
+        buf_len = state.loss_buf_D.shape[0]
+        loss_buf_D = state.loss_buf_D.at[state.buf_count_D % buf_len].set(errD)
         cnt_d = state.buf_count_D + 1
-        loss_buf_G = state.loss_buf_G.at[state.buf_count_G % _BUF].set(errG)
+        loss_buf_G = state.loss_buf_G.at[state.buf_count_G % buf_len].set(errG)
         cnt_g = state.buf_count_G + 1
 
         def do_pso_d(op):
@@ -140,7 +148,7 @@ def make_pso_train_step(
             return new_pso, new_params, jnp.zeros((), jnp.int32)
 
         pso_D, params_D, new_cnt_d = jax.lax.cond(
-            cnt_d > 20,
+            cnt_d > trigger,
             do_pso_d,
             lambda op: (op[0], op[1], cnt_d),
             (state.pso_D, state.params_D, loss_buf_D),
@@ -152,7 +160,7 @@ def make_pso_train_step(
             return new_pso, new_params, jnp.zeros((), jnp.int32)
 
         pso_G, params_G, new_cnt_g = jax.lax.cond(
-            cnt_g > 20,
+            cnt_g > trigger,
             do_pso_g,
             lambda op: (op[0], op[1], cnt_g),
             (state.pso_G, state.params_G, loss_buf_G),

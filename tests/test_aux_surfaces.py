@@ -163,16 +163,17 @@ def test_quality_soak_snapshots_raw_and_ema(tmp_path):
     os.environ.get("DDGAN_TPU_MULTIHOST") != "1",
     reason="launches 2 jax.distributed processes (serialize with the "
     "one-core rule); set DDGAN_TPU_MULTIHOST=1 to run — or use "
-    "`python tools/multihost_dryrun.py` (evidence: MULTIHOST_r03.json)",
+    "`python tools/multihost_dryrun.py` (evidence: MULTIHOST_r04.json)",
 )
 def test_multihost_two_process_dryrun():
     """Real multi-process execution: rendezvous via init_processes, loader
-    shard partition, make_array_from_process_local_data assembly, and
-    cross-process pmean equality vs a single-process 2-device run."""
+    shard partition, make_array_from_process_local_data assembly,
+    cross-process pmean + sampler equality vs single-process same-size
+    meshes (2x1 and 2x2 topologies), loader-failure regression."""
     import subprocess
     import sys as _sys
 
-    out = str(REPO / "MULTIHOST_r03.json")
+    out = str(REPO / "MULTIHOST_r04.json")
     subprocess.run(
         [_sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
          "--out", out],

@@ -233,3 +233,59 @@ def test_loader_worker_error_propagates():
     with pytest.raises(OSError, match="corrupt file"):
         for _ in loader:
             pass
+
+
+def test_loader_vectorized_uint8_path_matches_per_image(tmp_path):
+    """The uint8 batch-vectorized fast path (one gather + batch normalize)
+    must be numerically identical to the per-image PIL path it replaces
+    (r3 VERDICT item 4 host-throughput fix)."""
+    from ddgan_tpu.data.transforms import Compose, Normalize, ToTensor
+
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(1, 6):
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(
+                {b"data": rng.randint(0, 256, (8, 3072), dtype=np.uint8),
+                 b"labels": list(range(8))},
+                f,
+            )
+    tf = Compose([ToTensor(), Normalize((0.5,) * 3, (0.5,) * 3)])
+    ds = CIFAR10(str(tmp_path), train=True, transform=tf)
+    fast = DataLoader(ds, batch_size=8, shuffle=False, drop_last=True)
+    assert fast._vectorized_transform() is not None
+
+    batches = list(fast)
+    # per-image reference: __getitem__ drives PIL + the transform pipeline
+    want = np.stack([np.asarray(ds[i][0], np.float32) for i in range(8)])
+    np.testing.assert_allclose(batches[0][0], want, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(batches[0][1], np.arange(8))
+
+    # pipelines the fast path can't express fall back to per-image
+    from ddgan_tpu.data.transforms import CenterCrop
+
+    ds2 = CIFAR10(str(tmp_path), train=True,
+                  transform=Compose([ToTensor(), CenterCrop(16)]))
+    slow = DataLoader(ds2, batch_size=4, shuffle=False)
+    assert slow._vectorized_transform() is None
+    x, _ = next(iter(slow))
+    assert x.shape == (4, 16, 16, 3)
+
+
+def test_build_loader_fallback_single_process():
+    """Loader-construction failure degrades to an unsharded loader in
+    single-process runs (ddgan.py:262-269 analog); multi-process re-raise
+    is covered by tools/multihost_dryrun.py (real 2-process run)."""
+    from ddgan_tpu.train.loop import build_loader
+
+    class BrokenLen:
+        def __len__(self):
+            raise RuntimeError("boom")
+
+        def __getitem__(self, i):
+            raise AssertionError("unreachable")
+
+    cfg = Config(seed=3, num_workers=0)
+    loader = build_loader(cfg, BrokenLen(), host_batch=4)
+    assert loader.num_shards == 1

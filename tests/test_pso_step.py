@@ -1,7 +1,17 @@
 """PSO train-step protocol test: forward-only losses accumulate in the
-device-side ring buffer; the swarm update fires only once >20 losses have
-accumulated (ddgan.py:491-493/:513-515 protocol), params change only then;
-EMA steps every iteration."""
+device-side ring buffer; the swarm update fires only once more than
+`trigger` losses have accumulated (ddgan.py:491-493/:513-515 protocol,
+trigger=20 in the reference), params change only then; EMA steps every
+iteration.
+
+The default run exercises the IDENTICAL protocol at trigger=5 /
+swarm_size=5 to keep the CPU suite under budget (the lax.cond trigger,
+ring-buffer reset, replication invariant and epoch-end path are
+length-independent). Set DDGAN_TPU_FULL_TESTS=1 to run the
+reference-exact trigger=20 / swarm_size=20 version (~8 min on CPU).
+"""
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +25,10 @@ from ddgan_tpu.parallel import make_mesh, replicate, shard_batch
 from ddgan_tpu.train.pso_optim import AdaptivePSO
 from ddgan_tpu.train.pso_step import create_pso_train_state, make_pso_train_step
 
+FULL = os.environ.get("DDGAN_TPU_FULL_TESTS", "0") == "1"
+TRIGGER = 20 if FULL else 5
+SWARM = 20 if FULL else 5
+
 
 def test_pso_step_protocol():
     cfg = Config(
@@ -26,16 +40,17 @@ def test_pso_step_protocol():
     disc = DiscriminatorSmall(nc=2, ngf=4, t_emb_dim=8)
     coeff = DiffusionCoefficients.create(2, cfg.beta_min, cfg.beta_max)
     pos = PosteriorCoefficients.create(2, cfg.beta_min, cfg.beta_max)
-    pso = AdaptivePSO(swarm_size=20)
+    pso = AdaptivePSO(swarm_size=SWARM)
     mesh = make_mesh()
     state = create_pso_train_state(
-        jax.random.PRNGKey(0), gen, disc, pso, (8, 8, 1), 4, batch=2
+        jax.random.PRNGKey(0), gen, disc, pso, (8, 8, 1), 4, batch=2,
+        buf_len=TRIGGER + 1,
     )
     state = replicate(mesh, state)
     step = make_pso_train_step(
         gen, disc, coeff, pos, pso,
         num_timesteps=2, nz=4, ema_decay=0.9, use_ema=True, mesh=mesh,
-        donate=False,
+        donate=False, trigger=TRIGGER,
     )
     batch = shard_batch(
         mesh,
@@ -55,16 +70,16 @@ def test_pso_step_protocol():
 
     params0 = state.params_G
     s = state
-    for i in range(20):
+    for i in range(TRIGGER):
         s, m = step(s, batch, jax.random.PRNGKey(i), lr, lr)
         assert np.isfinite(float(m.errD)) and np.isfinite(float(m.errG))
-    # 20 losses accumulated — not yet >20 → params untouched
-    assert int(s.buf_count_G) == 20
+    # TRIGGER losses accumulated — not yet >TRIGGER → params untouched
+    assert int(s.buf_count_G) == TRIGGER
     assert l2diff(params0, s.params_G) == 0.0
     # EMA has stepped every iteration though (decays toward static params)
     assert l2diff(s.ema_G, state.ema_G) >= 0.0
 
-    # 21st loss triggers the swarm step → params become gbest (≠ original)
+    # (TRIGGER+1)th loss triggers the swarm step → params become gbest
     s, m = step(s, batch, jax.random.PRNGKey(100), lr, lr)
     assert int(s.buf_count_G) == 0  # buffer reset
     assert l2diff(params0, s.params_G) > 0.0
@@ -73,7 +88,7 @@ def test_pso_step_protocol():
     # swarm updates must stay REPLICATED across devices (the swarm keys
     # must not fold in the device index) — run past a second fire and
     # check every shard holds identical params and particles
-    for i in range(21):
+    for i in range(TRIGGER + 1):
         s, _ = step(s, batch, jax.random.PRNGKey(200 + i), lr, lr)
     for tree in (s.params_G, s.pso_G.particles):
         leaf = jax.tree.leaves(tree)[0]
@@ -82,21 +97,23 @@ def test_pso_step_protocol():
             np.testing.assert_array_equal(shards[0], sh)
 
     # ---- epoch-end swarm update (ddgan.py:528-533): fires even when the
-    # in-step >20 trigger never did (short epochs), and resets the ring
-    # buffers. Without it, num_epoch=1 PSO-HPO configs with <21 iterations
-    # never move the params at all.
+    # in-step >TRIGGER trigger never did (short epochs), and resets the
+    # ring buffers. Without it, num_epoch=1 PSO-HPO configs with <21
+    # iterations never move the params at all.
     from ddgan_tpu.train.pso_step import make_pso_epoch_end, pad_epoch_losses
 
     fresh = replicate(
         mesh,
         create_pso_train_state(
-            jax.random.PRNGKey(1), gen, disc, pso, (8, 8, 1), 4, batch=2
+            jax.random.PRNGKey(1), gen, disc, pso, (8, 8, 1), 4, batch=2,
+            buf_len=TRIGGER + 1,
         ),
     )
     params0 = fresh.params_G
     sE = fresh
+    n_short = TRIGGER - 2  # a short epoch — never reaches the trigger
     epoch_losses_d, epoch_losses_g = [], []
-    for i in range(5):  # a 5-iteration epoch — far short of the 21 trigger
+    for i in range(n_short):
         sE, m = step(sE, batch, jax.random.PRNGKey(300 + i), lr, lr)
         epoch_losses_d.append(float(m.errD))
         epoch_losses_g.append(float(m.errG))
@@ -105,7 +122,7 @@ def test_pso_step_protocol():
     epoch_end = make_pso_epoch_end(pso)
     ld = pad_epoch_losses(epoch_losses_d, pso.swarm_size)
     lg = pad_epoch_losses(epoch_losses_g, pso.swarm_size)
-    assert ld.shape == (20,) and np.isinf(ld[5:]).all()  # +inf padding
+    assert ld.shape == (SWARM,) and np.isinf(ld[n_short:]).all()  # +inf padding
     sE = epoch_end(
         sE,
         replicate(mesh, jnp.asarray(ld)),

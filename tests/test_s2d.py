@@ -1,0 +1,119 @@
+"""Width-only space-to-depth conv formulation: exact algebra parity.
+
+The s2d-width layout (ops/s2d.py) must reproduce the ORIGINAL 3×3 conv
+bit-for-math — it is a pure relayout of the same computation, used to
+fill the MXU's 128 lanes at the C=64 256²/128² generator levels
+(ncsnpp_generator_adagn.py at image_size 256). Checked in f32 on CPU
+against lax's plain conv, stride 1 and stride 2, including the padding
+edge columns, plus layout round-trip and gradient flow to the
+underlying [3,3,C,F] parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ddgan_tpu.ops.s2d import (
+    conv3x3_s2d,
+    conv3x3_s2d_down,
+    s2d_width,
+    un_s2d_width,
+    widen_s2d_kernel,
+    widen_s2d_kernel_stride2,
+)
+
+
+def _conv(x, w, stride):
+    return lax.conv_general_dilated(
+        x, w, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def test_s2d_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 8, 5), jnp.float32)
+    np.testing.assert_array_equal(un_s2d_width(s2d_width(x)), x)
+    # channel layout is dj*C + c
+    y = s2d_width(x)
+    np.testing.assert_array_equal(np.asarray(y)[0, 0, 0, :5],
+                                  np.asarray(x)[0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(y)[0, 0, 0, 5:],
+                                  np.asarray(x)[0, 0, 1])
+
+
+def test_s2d_conv_exact():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 6, 7) * 0.3, jnp.float32)
+    ref = _conv(x, w3, 1)
+    got = un_s2d_width(conv3x3_s2d(s2d_width(x), widen_s2d_kernel(w3)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_conv_stride2_exact():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 16, 6), jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 6, 4) * 0.3, jnp.float32)
+    ref = _conv(x, w3, 2)  # (2, 4, 8, 4)
+    got = un_s2d_width(
+        conv3x3_s2d_down(s2d_width(x), widen_s2d_kernel_stride2(w3))
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_kernel_grad_flows_to_base_params():
+    """widen_s2d_kernel is differentiable: training updates the SAME
+    [3,3,C,F] parameters whether or not the level runs in s2d layout."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 4, 6, 2), jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 2, 2) * 0.3, jnp.float32)
+
+    def loss_ref(w):
+        return jnp.sum(_conv(x, w, 1) ** 2)
+
+    def loss_s2d(w):
+        y = conv3x3_s2d(s2d_width(x), widen_s2d_kernel(w))
+        return jnp.sum(un_s2d_width(y) ** 2)
+
+    g_ref = jax.grad(loss_ref)(w3)
+    g_s2d = jax.grad(loss_s2d)(w3)
+    np.testing.assert_allclose(np.asarray(g_s2d), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_s2d_flag_path_matches_default(monkeypatch):
+    """DDGAN_TPU_S2D_CONV=1 must keep the SAME param tree (conv/kernel +
+    conv/bias) and the same numerics as the default nn.Conv path, so
+    checkpoints are flag-agnostic (mirrors the _PairConv contract)."""
+    import os
+
+    from ddgan_tpu.nn.layers import Conv3x3
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 128, 128, 4), jnp.float32)
+
+    monkeypatch.delenv("DDGAN_TPU_S2D_CONV", raising=False)
+    mod = Conv3x3(features=6)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+
+    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
+    mod2 = Conv3x3(features=6)
+    params2 = mod2.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(params2)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2))
+    )
+    got = mod2.apply(params, x)  # same params through the s2d path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # ineligible shapes (odd W / wide channels / small spatial) stay on
+    # the default path under the flag
+    small = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+    out = mod2.apply(mod2.init(jax.random.PRNGKey(1), small), small)
+    assert out.shape == (1, 16, 16, 6)

@@ -110,25 +110,72 @@ def main():
         return fwd, grad
 
     from ddgan_tpu.ops.experimental.pallas_conv import pair_conv3x3
+    from ddgan_tpu.ops.s2d import widen_s2d_kernel
 
     w3_f = jnp.asarray(w3)
     bias0 = jnp.zeros((C,), jnp.float32)
+    # width-only space-to-depth: [3,3,2C,2C] at (S, S/2) — layout-closed,
+    # so the whole chain runs in s2d space with zero relayouts (r4 V2).
+    ws2d_b = jnp.asarray(widen_s2d_kernel(w3), jnp.bfloat16)
+
+    def conv_s2dw(v):  # v: (B, S, S/2, 2C), stays in that layout
+        return lax.conv_general_dilated(
+            v, ws2d_b, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def prologue_s2dw(v):
+        # same GN+adaGN+SiLU chain, stats taken over (H, W', dj, c∈group)
+        # which equals the original (H, W, c∈group)
+        g = 32
+        vg = v.reshape(B, S, S // 2, 2, g, C // g)
+        mean = jnp.mean(vg.astype(jnp.float32), axis=(1, 2, 3, 5), keepdims=True)
+        var = jnp.var(vg.astype(jnp.float32), axis=(1, 2, 3, 5), keepdims=True)
+        n = ((vg - mean) * lax.rsqrt(var + 1e-6)).astype(v.dtype)
+        gb = jnp.concatenate([g_b, g_b], axis=1)  # (B, 2C), dj*C+c layout
+        bb = jnp.concatenate([b_b, b_b], axis=1)
+        n = n.reshape(v.shape) * gb[:, None, None, :] + bb[:, None, None, :]
+        return jax.nn.silu(n)
+
+    def conv_s2dw_boxed(v):
+        # per-conv wrapping (what a Conv3x3-only model surgery would emit):
+        # reshape in, lane-full conv, reshape out — prologue stays in the
+        # ORIGINAL layout, so this measures the per-kernel relayout cost
+        # that the stage-wide formulation avoids
+        y = conv_s2dw(v.reshape(B, S, S // 2, 2 * C))
+        return y.reshape(B, S, S, C)
 
     flops3 = 2 * B * S * S * 9 * C * C * K
     cases = {
         "conv": (lambda v: conv3(v, w3_b), flops3),
         "pair": (lambda v: conv_pair(v, w4_b), flops3),  # useful flops
         "pallas": (lambda v: pair_conv3x3(v, w3_f, bias0), flops3),
+        "s2dw": (conv_s2dw, flops3),  # useful flops (dense = 2x)
+        "s2dw_box": (conv_s2dw_boxed, flops3),
     }
 
     x = jnp.asarray(x0, jnp.bfloat16)
+    x_s2d = x.reshape(B, S, S // 2, 2 * C)
     results = {}
     for name, (fn, fl) in cases.items():
         for pro in (False, True):
             for mode in ("fwd", "fwdbwd"):
-                fwd, grad = make(fn, pro)
-                run = fwd if mode == "fwd" else grad
-                out = run(x)
+                if name == "s2dw":
+                    fwd, grad = make(fn, False)
+                    if pro:
+                        def chain_p(v):
+                            for _ in range(K):
+                                v = conv_s2dw(prologue_s2dw(v))
+                            return v
+                        fwd = jax.jit(chain_p)
+                        grad = jax.jit(jax.grad(
+                            lambda v: jnp.sum(chain_p(v).astype(jnp.float32))))
+                    run = fwd if mode == "fwd" else grad
+                    out = run(x_s2d)
+                else:
+                    fwd, grad = make(fn, pro)
+                    run = fwd if mode == "fwd" else grad
+                    out = run(x)
                 _ = float(out.reshape(-1)[0].astype(jnp.float32))
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
