@@ -135,6 +135,10 @@ def main():
     )
     for e in ckpts:
         t0 = time.time()
+        done = root / f"fid_{e}.txt"
+        if done.exists():  # resumable sweep (tunnel-outage tolerant)
+            curve.append({"epoch": e, "fid_ema": float(done.read_text().strip())})
+            continue
         fid = float(test_cli.main([
             "--dataset", "custom", "--exp", "larged", "--epoch_id", str(e),
             "--compute_fid", "--real_img_dir", str(root / "real"),

@@ -241,6 +241,12 @@ def main():
     from ddgan_tpu.cli import test_cli
 
     def fid_of(epoch_id: int) -> float:
+        # resumable: a completed point's fid_{e}.txt is reused, so an
+        # interrupted sweep (e.g. a tunnel outage mid-FID) restarts where
+        # it stopped instead of redoing ~2 min per point
+        done = root / f"fid_{epoch_id}.txt"
+        if done.exists():
+            return float(done.read_text().strip())
         return float(test_cli.main([
             "--dataset", "cifar10", "--exp", "soak", "--epoch_id", str(epoch_id),
             "--compute_fid", "--real_img_dir", str(root / "real"),
