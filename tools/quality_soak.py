@@ -240,6 +240,16 @@ def main():
     os.environ.setdefault("DDGAN_TPU_INCEPTION_RANDOM", "0")
     from ddgan_tpu.cli import test_cli
 
+    # cache the real-set Fréchet stats once: recomputing them per point
+    # costs 2x fid_samples inception forwards each time (the bulk of a
+    # CPU-fallback point); .npz stats give IDENTICAL FID values (the
+    # feature fn and real set are deterministic)
+    real_ref = root / "real_stats.npz"
+    if not real_ref.exists():
+        from ddgan_tpu.eval import fid as fid_mod
+
+        fid_mod.main(["--save-stats", str(root / "real"), str(real_ref)])
+
     def fid_of(epoch_id: int) -> float:
         # resumable: a completed point's fid_{e}.txt is reused, so an
         # interrupted sweep (e.g. a tunnel outage mid-FID) restarts where
@@ -247,9 +257,18 @@ def main():
         done = root / f"fid_{epoch_id}.txt"
         if done.exists():
             return float(done.read_text().strip())
+        # sub-point resume: samples already generated → score them directly
+        gen_dir = root / f"gen_{epoch_id}" / "generated_samples" / "cifar10"
+        if gen_dir.exists() and len(list(gen_dir.glob("*.png"))) >= args.fid_samples:
+            from ddgan_tpu.eval.fid import calculate_fid_given_paths
+
+            fid = float(calculate_fid_given_paths(
+                [str(gen_dir), str(real_ref)], batch_size=50, dims=2048))
+            done.write_text(f"{fid}\n")
+            return fid
         return float(test_cli.main([
             "--dataset", "cifar10", "--exp", "soak", "--epoch_id", str(epoch_id),
-            "--compute_fid", "--real_img_dir", str(root / "real"),
+            "--compute_fid", "--real_img_dir", str(real_ref),
             "--num_fid_samples", str(args.fid_samples),
             "--batch_size", "256", "--seed", str(args.seed),
             "--generated_samples_dir", str(root / f"gen_{epoch_id}"),
@@ -265,17 +284,35 @@ def main():
     raw_snapshots = sorted(set(raw_snapshots) | set(disk_raw))
 
     ema_curve = []
-    for p in sorted(exp_path.glob("netG_*.ckpt")):
-        e = int(p.stem.split("_")[1])
-        if e >= 80000:  # 8xxxx/9xxxx boundary snapshots, not the curve
-            continue
-        t0 = time.time()
-        fid = fid_of(e)
-        ema_curve.append({"epoch": e, "fid_ema": fid})
-        print(f"epoch {e}: FID(EMA, random-feature) = {fid:.3f} "
-              f"[{time.time() - t0:.0f}s]", flush=True)
-
     ema_vs_raw = []
+
+    def write_artifact(complete: bool):
+        # incremental: the artifact exists with best-so-far evidence even
+        # if the sweep is interrupted (tunnel outage, round end)
+        out = {
+            "recipe": "flagship width: nf=128, ch_mult 1 2 2 2, blocks 2, T=4, "
+                      "batch 64, bf16 (readme.md:29-36) on 1 chip",
+            "dataset": f"{args.n_train} toy 32x32 imgs in CIFAR pickle format",
+            "feature_space": "seeded random FID-Inception "
+                             "(DDGAN_TPU_INCEPTION_RANDOM=0)",
+            "backend_note": os.environ.get("DDGAN_TPU_SWEEP_NOTE", ""),
+            "events": events,
+            "losses_epochs_logged": len(losses),
+            "resume_continuity_ok": bool(continuity_ok),
+            "sweep_complete": bool(complete),
+            "ema_fid_curve": sorted(ema_curve, key=lambda r: r["epoch"]),
+            "ema_vs_raw": ema_vs_raw,
+            "config": {k: getattr(args, k) for k in vars(args)},
+        }
+        tmp = REPO / "QUALITY_r03.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        tmp.replace(REPO / "QUALITY_r03.json")
+        return out
+
+    # boundaries FIRST (raw-vs-EMA is the headline evidence), then the EMA
+    # curve late-to-early — under interruption (tunnel outage / round end)
+    # the incremental artifact keeps the most informative points
     for e in raw_snapshots:
         raw_fid = fid_of(90000 + e)
         if (exp_path / f"netG_{80000 + e}.ckpt").exists():
@@ -286,22 +323,25 @@ def main():
             )
         ema_vs_raw.append({"epoch": e, "fid_raw": raw_fid, "fid_ema": ema_fid})
         print(f"epoch {e}: raw {raw_fid:.3f} vs EMA {ema_fid}", flush=True)
+        write_artifact(False)
 
-    out = {
-        "recipe": "flagship width: nf=128, ch_mult 1 2 2 2, blocks 2, T=4, "
-                  "batch 64, bf16 (readme.md:29-36) on 1 chip",
-        "dataset": f"{args.n_train} toy 32x32 imgs in CIFAR pickle format",
-        "feature_space": "seeded random FID-Inception "
-                         "(DDGAN_TPU_INCEPTION_RANDOM=0)",
-        "events": events,
-        "losses_epochs_logged": len(losses),
-        "resume_continuity_ok": bool(continuity_ok),
-        "ema_fid_curve": ema_curve,
-        "ema_vs_raw": ema_vs_raw,
-        "config": {k: getattr(args, k) for k in vars(args)},
-    }
-    with open(REPO / "QUALITY_r03.json", "w") as f:
-        json.dump(out, f, indent=2)
+    curve_epochs = sorted(
+        (
+            int(p.stem.split("_")[1])
+            for p in exp_path.glob("netG_*.ckpt")
+            if int(p.stem.split("_")[1]) < 80000  # 8/9xxxx are snapshots
+        ),
+        reverse=True,
+    )
+    for e in curve_epochs:
+        t0 = time.time()
+        fid = fid_of(e)
+        ema_curve.append({"epoch": e, "fid_ema": fid})
+        print(f"epoch {e}: FID(EMA, random-feature) = {fid:.3f} "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+        write_artifact(False)
+
+    out = write_artifact(True)
     print(json.dumps(out, indent=2))
 
 
