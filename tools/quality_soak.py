@@ -331,7 +331,9 @@ def main():
             for p in exp_path.glob("netG_*.ckpt")
             if int(p.stem.split("_")[1]) < 80000  # 8/9xxxx are snapshots
         ),
-        reverse=True,
+        # cached points first (instant — they land in the artifact even if
+        # the sweep is stopped early), then new ones latest-first
+        key=lambda e: (not (root / f"fid_{e}.txt").exists(), -e),
     )
     for e in curve_epochs:
         t0 = time.time()
