@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None, config_dir="./configs", config_name="config.json"):
+    from .._platform import apply_force_platform
+
+    apply_force_platform()
     args = build_parser().parse_args(argv)
     cfg_path = Path(config_dir) / config_name
 

@@ -216,6 +216,9 @@ def sample_and_test(args):
 
 
 def main(argv=None):
+    from .._platform import apply_force_platform
+
+    apply_force_platform()
     args = build_parser().parse_args(argv)
     return sample_and_test(args)
 

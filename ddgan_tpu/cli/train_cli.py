@@ -136,6 +136,9 @@ def resolve_config(args: argparse.Namespace,
 
 
 def main(argv=None):
+    from .._platform import apply_force_platform
+
+    apply_force_platform()
     args = build_parser().parse_args(argv)
     cfg = resolve_config(args)
     from ..train import train

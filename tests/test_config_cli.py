@@ -110,3 +110,30 @@ def test_resolve_compute_dtype_validation():
         resolve_compute_dtype("float16")
     with pytest.raises(ValueError, match="compute_dtype"):
         resolve_compute_dtype("bfloat_16")
+
+
+def test_force_platform_env_hook(tmp_path):
+    """DDGAN_TPU_FORCE_PLATFORM=cpu must pin the backend in a fresh
+    process even with the axon sitecustomize on PYTHONPATH (which
+    force-registers the remote TPU and overrides JAX_PLATFORMS) —
+    the hook every CLI main() applies before its first device query."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # prove the hook, not the env var
+    env["DDGAN_TPU_FORCE_PLATFORM"] = "cpu"
+    env["DDGAN_TPU_FORCE_NUM_CPU_DEVICES"] = "2"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    site = "/root/.axon_site"
+    env["PYTHONPATH"] = f"{repo}:{site}" if os.path.isdir(site) else repo
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from ddgan_tpu._platform import apply_force_platform\n"
+         "apply_force_platform()\n"
+         "import jax\n"
+         "print(jax.default_backend(), jax.device_count())\n"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().split()[-2:] == ["cpu", "2"], out.stdout

@@ -14,6 +14,12 @@ Reference path being matched: ddgan.py:242-269 (torchvision CIFAR10 +
 DataLoader(num_workers=4, pin_memory) feeding cuda).
 
 Run: python tools/bench_host_loader.py [--root /tmp/hostbench]
+
+`--host-only` skips the device step entirely and times the loader alone
+(images/s from one host core, the quantity that bounds host-in-path
+throughput) — measurable on any backend, e.g. while the TPU tunnel is
+down. The flagship chip consumes 1571 samples/s (BENCH_r03); the loader
+must sustain at least that.
 """
 
 from __future__ import annotations
@@ -47,18 +53,71 @@ def make_cifar_pickles(root: Path, n: int = 50000, seed: int = 0) -> None:
             )
 
 
+def host_only(args, root: Path):
+    """Loader-alone throughput from one host core (no jax, no device)."""
+    from ddgan_tpu.config import default_config
+    from ddgan_tpu.data import DataLoader, make_dataset
+
+    cfg = default_config()
+    cfg.dataset = "cifar10"
+    cfg.image_size = 32
+    cfg.data_dir = str(root)
+    cfg.to_tensor_transform = "yes"
+    cfg.use_normalize = "yes"
+    dataset = make_dataset(cfg)
+    assert len(dataset) == args.n, len(dataset)
+    global_batch = 64  # flagship recipe batch per chip
+    loader = DataLoader(
+        dataset, batch_size=global_batch, shuffle=True, drop_last=True,
+        num_workers=args.num_workers, seed=0,
+    )
+    vec = loader._vectorized_transform() is not None
+
+    it = iter(loader)
+    next(it)  # warm the prefetch threads
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        try:
+            x, _y = next(it)
+        except StopIteration:
+            loader.set_epoch(loader.epoch + 1)
+            it = iter(loader)
+            continue
+        done += 1
+    rate = global_batch * args.steps / (time.perf_counter() - t0)
+
+    flagship = 1571.2  # samples/s/chip, BENCH_r03 (synthetic device data)
+    result = {
+        "mode": "host-only (loader alone, no device step)",
+        "dataset": f"{args.n} CIFAR-format uint8 images (real pickle reader)",
+        "num_workers": args.num_workers,
+        "vectorized_loader_path": vec,
+        "loader_images_per_sec": round(rate, 1),
+        "flagship_chip_consumption_per_sec": flagship,
+        "loader_headroom_x": round(rate / flagship, 2),
+    }
+    print(json.dumps(result, indent=2))
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/hostbench")
     ap.add_argument("--n", type=int, default=50000)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--num-workers", type=int, default=2)
+    ap.add_argument("--host-only", action="store_true",
+                    help="time the loader alone (no device step; any backend)")
     args = ap.parse_args()
 
     root = Path(args.root)
     if not (root / "cifar-10-batches-py").exists():
         print(f"writing {args.n} CIFAR-format images to {root}...", flush=True)
         make_cifar_pickles(root, args.n)
+
+    if args.host_only:
+        return host_only(args, root)
 
     import jax
     import jax.numpy as jnp

@@ -68,7 +68,18 @@ def main():
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--train-timeout", type=int, default=10800)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the backend (DDGAN_TPU_FORCE_PLATFORM hook) "
+                         "for both the train subprocess and the FID sweep — "
+                         "cpu keeps the evidence producible during TPU "
+                         "tunnel outages (note it in the artifact)")
     args = ap.parse_args()
+
+    if args.platform:
+        os.environ["DDGAN_TPU_FORCE_PLATFORM"] = args.platform
+        from ddgan_tpu._platform import apply_force_platform
+
+        apply_force_platform()
 
     root = Path(args.root)
     root.mkdir(parents=True, exist_ok=True)
@@ -129,6 +140,27 @@ def main():
     os.environ.setdefault("DDGAN_TPU_INCEPTION_RANDOM", "0")
     from ddgan_tpu.cli import test_cli
 
+    # floor: FID between a held-out real draw and the real dir, same
+    # feature space — the best reachable score (finite-sample noise incl.)
+    floor_file = root / "fid_floor.txt"
+    if not floor_file.exists():
+        from PIL import Image
+
+        from ddgan_tpu.eval.fid import calculate_fid_given_paths
+
+        hold = root / "real_holdout"
+        hold.mkdir(exist_ok=True)
+        if len(list(hold.glob("*.png"))) < args.fid_samples:
+            for i in range(args.fid_samples):
+                rng = np.random.RandomState(
+                    args.seed * 7_000_003 + args.n_train + args.n_real + i)
+                arr = (toy_image(rng, args.size) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(hold / f"img_{i:05d}.png")
+        floor = float(calculate_fid_given_paths(
+            [str(hold), str(root / "real")], batch_size=50, dims=2048))
+        floor_file.write_text(f"{floor}\n")
+    fid_floor = float(floor_file.read_text().strip())
+
     curve = []
     ckpts = sorted(
         (int(p.stem.split("_")[1]) for p in exp_path.glob("netG_*.ckpt")),
@@ -160,10 +192,12 @@ def main():
         "dataset": f"{args.n_train} toy jpgs via DatasetCustom (custom path)",
         "feature_space": "seeded random FID-Inception "
                          "(DDGAN_TPU_INCEPTION_RANDOM=0)",
+        "backend": jax.default_backend(),
         "train_wall_s": train_wall,
         "epochs": len(losses),
         "final_losses": losses[-1],
         "fid_curve_ema": curve,
+        "fid_floor_two_real_draws": fid_floor,
         "fid_descending": bool(descending),
         "config": {k: getattr(args, k) for k in vars(args)},
     }

@@ -250,6 +250,29 @@ def main():
 
         fid_mod.main(["--save-stats", str(root / "real"), str(real_ref)])
 
+    # ---- the floor: FID between a held-out draw of the REAL distribution
+    # and the real stats, in the same feature space — the best score any
+    # generator could reach (finite-sample noise included); contextualizes
+    # the final EMA number (r2's quality evidence carried the same floor)
+    floor_file = root / "fid_floor.txt"
+    if not floor_file.exists():
+        from PIL import Image
+
+        from ddgan_tpu.eval.fid import calculate_fid_given_paths
+
+        hold = root / "real_holdout"
+        hold.mkdir(exist_ok=True)
+        if len(list(hold.glob("*.png"))) < args.fid_samples:
+            for i in range(args.fid_samples):
+                rng = np.random.RandomState(
+                    args.seed * 1_000_003 + args.n_train + args.n_real + i)
+                arr = (toy_image(rng, 32) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(hold / f"img_{i:05d}.png")
+        floor = float(calculate_fid_given_paths(
+            [str(hold), str(real_ref)], batch_size=50, dims=2048))
+        floor_file.write_text(f"{floor}\n")
+    fid_floor = float(floor_file.read_text().strip())
+
     def fid_of(epoch_id: int) -> float:
         # resumable: a completed point's fid_{e}.txt is reused, so an
         # interrupted sweep (e.g. a tunnel outage mid-FID) restarts where
@@ -298,6 +321,7 @@ def main():
             "backend_note": os.environ.get("DDGAN_TPU_SWEEP_NOTE", ""),
             "events": events,
             "losses_epochs_logged": len(losses),
+            "fid_floor_two_real_draws": fid_floor,
             "resume_continuity_ok": bool(continuity_ok),
             "sweep_complete": bool(complete),
             "ema_fid_curve": sorted(ema_curve, key=lambda r: r["epoch"]),
