@@ -35,10 +35,11 @@ class AdaptiveGroupNorm(nn.Module):
     num_groups: int
     style_dim: int  # kept for API clarity; inferred from input at call time
     dtype: Any = None
+    packed: bool = False  # x is in width-s2d layout [B,H,W/2,2C] (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
-        channels = x.shape[-1]
+        channels = x.shape[-1] // 2 if self.packed else x.shape[-1]
 
         def style_bias_init(key, shape, dtype=jnp.float32):
             del key
@@ -64,15 +65,20 @@ class AdaptiveGroupNorm(nn.Module):
         # GroupNorm(affine=False) reassociated (eps=1e-6, biased variance),
         # parity-guarded by the model tests.
         g = self.num_groups
-        b_, c = x.shape[0], x.shape[-1]
+        b_, c = x.shape[0], channels
         cpg = c // g
         # stats via two lane-aligned [B,C] reductions (channels ride the
         # 128-lane axis; reducing a [B,HW,G,cpg] view instead was measured
         # 35% SLOWER end-to-end — cpg-wide trailing dims wreck the reduce),
         # then combined per group: var = E[x²] − E[x]², flax's own trick
         xf = x.astype(jnp.float32)
-        s1 = jnp.mean(xf, axis=(1, 2))  # [B, C]
+        s1 = jnp.mean(xf, axis=(1, 2))  # [B, C] ([B, 2C] packed)
         s2 = jnp.mean(jnp.square(xf), axis=(1, 2))
+        if self.packed:
+            # packed channel = dj*C + c; the two dj halves carry equal
+            # pixel counts, so averaging them IS the full-row mean
+            s1 = 0.5 * (s1[:, :c] + s1[:, c:])
+            s2 = 0.5 * (s2[:, :c] + s2[:, c:])
         mean = s1.reshape(b_, g, cpg).mean(-1)
         var = s2.reshape(b_, g, cpg).mean(-1) - jnp.square(mean)
         rstd = jax.lax.rsqrt(var + 1e-6)  # [B, G]
@@ -93,6 +99,11 @@ class AdaptiveGroupNorm(nn.Module):
         b_f = beta.astype(jnp.float32) + (
             mu_dt.astype(jnp.float32) - mu_c
         ) * a_f
+        if self.packed:
+            # broadcast the per-channel affine to the dj*C+c packed axis
+            mu_dt = jnp.concatenate([mu_dt, mu_dt], axis=1)
+            a_f = jnp.concatenate([a_f, a_f], axis=1)
+            b_f = jnp.concatenate([b_f, b_f], axis=1)
         return (
             x.astype(dt) - mu_dt[:, None, None, :]
         ) * a_f[:, None, None, :].astype(dt) + b_f[:, None, None, :].astype(dt)
@@ -385,6 +396,8 @@ class ResnetBlockBigGANppAdagn(nn.Module):
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
+        if _s2d_block_eligible(self, x, in_ch, out_ch, train):
+            return self._s2d_closed(x, temb, zemb, train)
         h = self.act(
             AdaptiveGroupNorm(_num_groups(in_ch), 0, dtype=self.dtype, name="GroupNorm_0")(x, zemb)
         )
@@ -418,6 +431,60 @@ class ResnetBlockBigGANppAdagn(nn.Module):
         if not self.skip_rescale:
             return x + h
         return (x + h) / np.sqrt(2.0)
+
+    def _s2d_closed(self, x, temb, zemb, train):
+        """Whole-block width-s2d closure (DDGAN_TPU_S2D_CONV=1, stride-1
+        in_ch==out_ch blocks): ONE pack at entry, ONE unpack at exit.
+        Per-conv boxing pays 4 tile-relayout copies per block and breaks
+        prologue fusion — profiled on-chip at +34 ms/step data formatting
+        for the celeba256 recipe. Both adaGNs take lane-aligned [B,2C]
+        stats in packed space (2C = 128 full lanes); convs are the
+        custom_vjp packed kernels (ops/s2d.py). Param tree identical to
+        the default path — checkpoints stay flag-agnostic. Consecutive
+        closed blocks cancel their unpack∘pack reshapes under XLA."""
+        from ..ops.s2d import s2d_width, un_s2d_width
+
+        out_ch = self.out_ch or x.shape[-1]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        p = s2d_width(x)
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(out_ch), 0, dtype=self.dtype,
+                              packed=True, name="GroupNorm_0")(p, zemb)
+        )
+        h = Conv3x3(out_ch, dtype=self.dtype, packed_io=True, name="Conv_0")(h)
+        if temb is not None:
+            tb = _TembProj(out_ch, dtype=self.dtype, name="Dense_0")(self.act(temb))
+            h = h + jnp.concatenate([tb, tb], axis=-1)[:, None, None, :]
+        h = self.act(
+            AdaptiveGroupNorm(_num_groups(out_ch), 0, dtype=self.dtype,
+                              packed=True, name="GroupNorm_1")(h, zemb)
+        )
+        h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                    packed_io=True, name="Conv_1")(h)
+        out = p + h if not self.skip_rescale else (p + h) / np.sqrt(2.0)
+        return un_s2d_width(out)
+
+
+def _s2d_block_eligible(blk, x, in_ch, out_ch, train) -> bool:
+    """Whole-block s2d closure applies to stride-1 identity-skip blocks.
+    Dropout>0 in train mode falls back to per-conv boxing: the packed
+    mask shape would re-associate dropout randomness to pixels
+    (distributionally identical but not bitwise parity with the flag
+    off)."""
+    import os
+
+    from .layers import _s2d_eligible
+
+    return (
+        os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
+        and not blk.up
+        and not blk.down
+        and in_ch == out_ch
+        and (blk.dropout == 0.0 or not train)
+        and _s2d_eligible(x, out_ch)
+    )
 
 
 class ResnetBlockBigGANppAdagnOne(nn.Module):

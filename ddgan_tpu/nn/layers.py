@@ -146,23 +146,33 @@ class _S2DConv(nn.Module):
     init_scale: float = 1.0
     dtype: Any = None
     use_bias: bool = True
+    packed_io: bool = False  # input AND output already in s2d layout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.s2d import conv3x3_s2d, s2d_width, un_s2d_width, widen_s2d_kernel
+        from ..ops.s2d import conv3x3_s2d_auto, conv3x3_s2d_packed
 
+        in_ch = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
         kernel = self.param(
             "kernel", default_init(self.init_scale),
-            (3, 3, x.shape[-1], self.features),
+            (3, 3, in_ch, self.features),
         )
-        wide = widen_s2d_kernel(kernel)
         if self.dtype is not None:
             x = x.astype(self.dtype)
-            wide = wide.astype(self.dtype)
-        y = un_s2d_width(conv3x3_s2d(s2d_width(x), wide))
+            kernel = kernel.astype(self.dtype)
+        # custom_vjp: fwd + d/dx lane-full in s2d space, d/dW in the
+        # original space (the widened weight-grad's 2x dense FLOPs were
+        # measured to erase the win — see ops/s2d.py).
+        if self.packed_io:
+            y = conv3x3_s2d_packed(x, kernel)
+        else:
+            y = conv3x3_s2d_auto(x, kernel)
         if self.use_bias:
             bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
-            y = y + bias.astype(y.dtype)
+            b = bias.astype(y.dtype)
+            if self.packed_io:
+                b = jnp.concatenate([b, b], axis=0)  # packed channel = dj*F+f
+            y = y + b
         return y
 
 
@@ -185,9 +195,17 @@ class Conv3x3(nn.Module):
     init_scale: float = 1.0
     padding: int = 1
     dtype: Any = None
+    packed_io: bool = False  # caller keeps x in s2d layout (blocks.py closure)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.packed_io:
+            # caller guarantees eligibility; params identical to the
+            # default path ([3,3,C,F] kernel under "conv")
+            return _S2DConv(
+                self.features, self.init_scale, self.dtype,
+                use_bias=self.use_bias, packed_io=True, name="conv",
+            )(x)
         if (
             os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
             and self.stride == 1

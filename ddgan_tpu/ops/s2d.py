@@ -33,6 +33,7 @@ ncsnpp_generator_adagn.py ResnetBlockBigGANpp_Adagn at image_size 256
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -140,3 +141,72 @@ def conv3x3_s2d_down(y: jnp.ndarray, w_s2d: jnp.ndarray) -> jnp.ndarray:
         y, w_s2d, (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _plain_conv3x3(x: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, w3, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv3x3_s2d_packed(p: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-1 pad-1 conv, packed [B,H,W',2C] in → packed [B,H,W',2F]
+    out, differentiated by PLAIN AD through the widened kernel. Equals
+    _plain_conv3x3(un_s2d_width(p), w3) in packed form.
+
+    Keeping every AD piece in the widened space is a MEASURED decision
+    (celeba256 recipe, v5e, r4):
+
+      * forward + d/dp contract over 2C/2F = 128 full MXU lanes;
+      * d/dW is the widened correlation — 2× dense FLOPs (half land on
+        the widened kernel's structural zeros) but lane-full at
+        ~190 TF/s ⇒ ~95 TF/s per USEFUL flop, still ~1.7× the 46-61
+        TF/s XLA ceiling of the original-space C=64 weight-grad conv.
+
+    A custom_vjp variant (conv3x3_s2d_packed_cvjp below) that routes
+    d/dW through the original space benched 208.2 ms/step vs 200.4 for
+    plain AD (boxed, vs 176.9 no-s2d baseline): the "saved" zero-FLOPs
+    cost more as lost lane-fill plus the residual unpack relayouts.
+    """
+    return conv3x3_s2d(p, widen_s2d_kernel(w3))
+
+
+@jax.custom_vjp
+def conv3x3_s2d_packed_cvjp(p: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+    """MEASURED-AND-REJECTED variant of conv3x3_s2d_packed: d/dW computed
+    in the ORIGINAL [3,3,C,F] space (no widened zeros). On-chip (r4,
+    celeba256 batch 8): 208.2 ms/step vs 200.4 plain-AD — the
+    original-space C=64 weight-grad conv runs at XLA's 46-61 TF/s
+    small-channel ceiling and loses to the lane-full widened correlation
+    despite doing half the dense FLOPs. Kept for the record + tests;
+    p and w3 must share a dtype."""
+    return conv3x3_s2d(p, widen_s2d_kernel(w3))
+
+
+def _conv3x3_s2d_packed_fwd(p, w3):
+    return conv3x3_s2d_packed_cvjp(p, w3), (p, w3)
+
+
+def _conv3x3_s2d_packed_bwd(res, dy):
+    p, w3 = res
+    wide = widen_s2d_kernel(w3)
+    # data-grad: correlation with the spatially-flipped, I/O-swapped
+    # widened kernel, entirely inside the s2d layout (lane-full).
+    w_t = jnp.flip(wide, axis=(0, 1)).swapaxes(2, 3)
+    dp = conv3x3_s2d(dy, w_t)
+    # weight-grad: transpose of the ORIGINAL conv (no widened zeros).
+    _, vjp_w = jax.vjp(
+        lambda w: _plain_conv3x3(un_s2d_width(p), w), w3
+    )
+    (dw,) = vjp_w(un_s2d_width(dy))
+    return dp, dw
+
+
+conv3x3_s2d_packed_cvjp.defvjp(_conv3x3_s2d_packed_fwd, _conv3x3_s2d_packed_bwd)
+
+
+def conv3x3_s2d_auto(x: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+    """Unpacked-layout wrapper over conv3x3_s2d_packed (== the plain conv;
+    the pack/unpack reshapes differentiate exactly)."""
+    return un_s2d_width(conv3x3_s2d_packed(s2d_width(x), w3))

@@ -84,6 +84,82 @@ def test_s2d_kernel_grad_flows_to_base_params():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_s2d_auto_and_cvjp_match_plain_ad():
+    """Both s2d conv AD strategies must equal plain lax conv AD in value,
+    d/dx and d/dW: conv3x3_s2d_auto (plain AD through the widened kernel
+    — the production path) and conv3x3_s2d_packed_cvjp (original-space
+    d/dW — measured-and-rejected on chip, kept for the record)."""
+    from ddgan_tpu.ops.s2d import conv3x3_s2d_auto, conv3x3_s2d_packed_cvjp
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 6, 10, 4), jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 4, 6) * 0.3, jnp.float32)
+    dy = jnp.asarray(rng.randn(2, 6, 10, 6), jnp.float32)
+
+    def cot(f):
+        _, vjp = jax.vjp(f, x, w3)
+        return vjp(dy)
+
+    dx_ref, dw_ref = cot(lambda a, w: _conv(a, w, 1))
+    for f in (
+        conv3x3_s2d_auto,
+        lambda a, w: un_s2d_width(conv3x3_s2d_packed_cvjp(s2d_width(a), w)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(f(x, w3)), np.asarray(_conv(x, w3, 1)),
+            rtol=1e-5, atol=1e-5)
+        dx_got, dw_got = cot(f)
+        np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_biggan_block_s2d_closure_matches_default(monkeypatch):
+    """DDGAN_TPU_S2D_CONV=1 routes eligible identity-skip BigGAN blocks
+    through the whole-block packed closure (one pack/unpack per block,
+    packed adaGN stats, packed custom_vjp convs). Same param tree, same
+    forward numerics, same parameter gradients as the flag-off path."""
+    from ddgan_tpu.nn.blocks import ResnetBlockBigGANppAdagn
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 128, 128, 8), jnp.float32)
+    temb = jnp.asarray(rng.randn(2, 16), jnp.float32)
+    zemb = jnp.asarray(rng.randn(2, 12), jnp.float32)
+    blk = ResnetBlockBigGANppAdagn(act=jax.nn.silu, dropout=0.0)
+
+    monkeypatch.delenv("DDGAN_TPU_S2D_CONV", raising=False)
+    params = blk.init(jax.random.PRNGKey(0), x, temb, zemb)
+    ref = blk.apply(params, x, temb, zemb)
+
+    def loss(p, use_apply_blk):
+        return jnp.sum(use_apply_blk.apply(p, x, temb, zemb) ** 2)
+
+    g_ref = jax.grad(loss)(params, blk)
+
+    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
+    blk2 = ResnetBlockBigGANppAdagn(act=jax.nn.silu, dropout=0.0)
+    params2 = blk2.init(jax.random.PRNGKey(0), x, temb, zemb)
+    assert jax.tree.structure(params) == jax.tree.structure(params2)
+    got = blk2.apply(params, x, temb, zemb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g_got = jax.grad(loss)(params, blk2)
+    for a, b, path in zip(
+        jax.tree.leaves(g_got), jax.tree.leaves(g_ref),
+        [p for p, _ in jax.tree_util.tree_leaves_with_path(g_ref)],
+    ):
+        # atol covers f32 reduction-reorder noise on near-cancelling
+        # sums (grads are O(100) here, summed over 16k pixels)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-3, err_msg=str(path))
+
+    # ineligible (up/down or channel-changing) blocks keep the default path
+    blk3 = ResnetBlockBigGANppAdagn(act=jax.nn.silu, down=True, dropout=0.0)
+    p3 = blk3.init(jax.random.PRNGKey(1), x, temb, zemb)
+    assert blk3.apply(p3, x, temb, zemb).shape == (2, 64, 64, 8)
+
+
 def test_conv3x3_s2d_flag_path_matches_default(monkeypatch):
     """DDGAN_TPU_S2D_CONV=1 must keep the SAME param tree (conv/kernel +
     conv/bias) and the same numerics as the default nn.Conv path, so
