@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--ch", type=int, default=64)
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--full", action="store_true",
+                    help="run ONLY the full-backward suite (input + "
+                         "per-layer WEIGHT grads — the model-realistic "
+                         "mode the original fwdbwd suite missed)")
     args = ap.parse_args()
 
     import jax
@@ -157,6 +161,101 @@ def main():
     x = jnp.asarray(x0, jnp.bfloat16)
     x_s2d = x.reshape(B, S, S // 2, 2 * C)
     results = {}
+
+    if args.full:
+        # ------- full-backward suite: d/d(input) AND per-layer d/dW -------
+        # The original fwdbwd suite grads the INPUT only (make() line
+        # above) — that's how boxed s2d "won" 1.59× in isolation yet
+        # REGRESSED the real step (176.9 → 200.4 ms/step): the model also
+        # pays the weight-grad correlation, in the widened space under
+        # plain AD. This suite chains K convs with K DISTINCT weights and
+        # differentiates w.r.t. all of them, prologue always on.
+        def prologue_s2dw_lane(v):
+            # packed GN stats via lane-aligned [B,2C] reductions (the old
+            # prologue_s2dw above reduces a [B,S,W',2,g,cpg] view — the
+            # badly-shaped reduce that made the closed chain LOSE in r4's
+            # first measurement)
+            g = 32
+            vf = v.astype(jnp.float32)
+            s1 = jnp.mean(vf, axis=(1, 2))
+            s2 = jnp.mean(jnp.square(vf), axis=(1, 2))
+            s1 = 0.5 * (s1[:, :C] + s1[:, C:])
+            s2 = 0.5 * (s2[:, :C] + s2[:, C:])
+            mean = s1.reshape(B, g, C // g).mean(-1)
+            var = s2.reshape(B, g, C // g).mean(-1) - jnp.square(mean)
+            rstd = lax.rsqrt(var + 1e-6)
+            a = gamma * jnp.repeat(rstd, C // g, axis=1)
+            bb = beta - jnp.repeat(mean, C // g, axis=1) * a
+            a2 = jnp.concatenate([a, a], 1).astype(v.dtype)
+            b2 = jnp.concatenate([bb, bb], 1).astype(v.dtype)
+            return jax.nn.silu(v * a2[:, None, None, :] + b2[:, None, None, :])
+
+        gamma = jnp.asarray((1 + 0.1 * np.random.RandomState(7).randn(B, C)), jnp.float32)
+        beta = jnp.asarray(0.1 * np.random.RandomState(8).randn(B, C), jnp.float32)
+
+        def s2dh(v):  # height packing: [B,S,S,C] → [B,S/2,S,2C] (a transpose)
+            return v.reshape(B, S // 2, 2, S, C).transpose(0, 1, 3, 2, 4).reshape(B, S // 2, S, 2 * C)
+
+        def un_s2dh(y):
+            return y.reshape(B, S // 2, S, 2, C).transpose(0, 1, 3, 2, 4).reshape(B, S, S, C)
+
+        def widen_h(w):
+            return widen_s2d_kernel(w.swapaxes(0, 1)).swapaxes(0, 1)
+
+        def loss_conv(v, ws):
+            for w in ws:
+                v = conv3(prologue(v), w)
+            return jnp.sum(v.astype(jnp.float32))
+
+        def loss_s2dw_box(v, ws):
+            for w in ws:
+                p = prologue(v).reshape(B, S, S // 2, 2 * C)
+                v = conv3(p, widen_s2d_kernel(w)).reshape(B, S, S, C)
+            return jnp.sum(v.astype(jnp.float32))
+
+        def loss_s2dw_chain(vp, ws):
+            for w in ws:
+                vp = conv3(prologue_s2dw_lane(vp), widen_s2d_kernel(w))
+            return jnp.sum(vp.astype(jnp.float32))
+
+        def loss_s2dh_box(v, ws):
+            for w in ws:
+                p = s2dh(prologue(v))
+                v = un_s2dh(conv3(p, widen_h(w)))
+            return jnp.sum(v.astype(jnp.float32))
+
+        ws_list = [
+            jnp.asarray((np.random.RandomState(100 + i).randn(3, 3, C, C) * 0.05),
+                        jnp.bfloat16)
+            for i in range(K)
+        ]
+        full_cases = {
+            "conv": (loss_conv, x),
+            "s2dw_box": (loss_s2dw_box, x),
+            "s2dw_chain": (loss_s2dw_chain, x_s2d),
+            "s2dh_box": (loss_s2dh_box, x),
+        }
+        for name, (loss, v0) in full_cases.items():
+            grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
+            dv, _ = grad(v0, ws_list)
+            _ = float(dv.reshape(-1)[0].astype(jnp.float32))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                dv, _ = grad(dv, ws_list)  # feed back: no CSE
+            _ = float(dv.reshape(-1)[0].astype(jnp.float32))
+            dt = (time.perf_counter() - t0) / args.iters
+            eff = flops3 * 3  # fwd + input-grad + weight-grad conv-equivalents
+            key = f"{name}+pro:fullbwd"
+            results[key] = {
+                "ms_per_conv": round(dt * 1e3 / K, 3),
+                "useful_tflops": round(eff / dt / 1e12, 1),
+            }
+            print(f"{key:<22} {dt*1e3/K:7.3f} ms/conv-layer   "
+                  f"{eff/dt/1e12:6.1f} useful TFLOP/s", flush=True)
+        print(json.dumps({"shape": [B, S, S, C], "chain": K,
+                          "mode": "fullbwd", "results": results}))
+        return
+
     for name, (fn, fl) in cases.items():
         for pro in (False, True):
             for mode in ("fwd", "fwdbwd"):
