@@ -17,6 +17,7 @@ FIR or naive resampling.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence
 
 import jax
@@ -217,9 +218,11 @@ class NCSNpp(nn.Module):
             # FLOPs for HBM, the standard recipe for the 256² configs
             # (CelebA-HQ/LSUN, readme.md:39-54) where activations dominate
             # static_argnums: 0=module, 4=train (python bool controls
-            # dropout determinism and must stay static under remat)
+            # dropout determinism and must stay static under remat),
+            # 5=packed_splits (tuple of ints selecting the width-s2d
+            # packed body — shape-determining, must be static)
             ResnetBlock = functools.partial(
-                nn.remat(ResnetBlock.func, prevent_cse=False, static_argnums=(4,)),
+                nn.remat(ResnetBlock.func, prevent_cse=False, static_argnums=(4, 5)),
                 **ResnetBlock.keywords,
             )
 
@@ -376,25 +379,72 @@ class NCSNpp(nn.Module):
         if self.progressive_input != "none":
             input_pyramid = x
 
+        # --- width-s2d REGION closure (DDGAN_TPU_S2D_CONV=1) -------------
+        # The small-C big-spatial levels (≤64ch at ≥128²) run their whole
+        # stride-1 resblock chain in the packed layout [B,H,W/2,2C]; the
+        # packed tensors flow THROUGH blocks, skip concats and hs entries,
+        # so tile-relayout copies happen only at region boundaries (FIR
+        # up/down transitions, attention, final GN) instead of per conv.
+        # Measured motivation: per-conv boxing paid +36.8 ms/step of data
+        # formatting on the celeba256 recipe (perf/r4_prof_celeba256_*);
+        # the op-level win of the packed formulation under full backward
+        # is 2.68× (perf/r4_exp_conv256_fullbwd.txt).
+        region = (
+            os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
+            and self.resblock_type == "biggan"
+            and self.progressive == "none"
+            and (self.dropout == 0.0 or not train)
+        )
+        if region:
+            from ..ops.s2d import s2d_width, un_s2d_width
+
+        def _elig(sp_h: int, sp_w: int, out_ch: int) -> bool:
+            return (
+                region
+                and out_ch <= 64
+                and sp_h * sp_w >= 128 * 128
+                and sp_w % 2 == 0
+                and sp_w not in self.attn_resolutions
+            )
+
         hs = [modules[m_idx](x)]
         m_idx += 1
+        pks = [False]  # parallel to hs: entry is in the packed layout
+        h_pk = False
         num_resolutions = len(self.ch_mult)
         for i_level in range(num_resolutions):
             for i_block in range(self.num_res_blocks):
-                h = modules[m_idx](hs[-1], temb, zemb, train)
+                xin, xpk = hs[-1], pks[-1]
+                t_ch = xin.shape[-1] // 2 if xpk else xin.shape[-1]
+                t_w = xin.shape[2] * 2 if xpk else xin.shape[2]
+                out_ch = self.nf * self.ch_mult[i_level]
+                if _elig(xin.shape[1], t_w, out_ch):
+                    if not xpk:
+                        xin = s2d_width(xin)
+                    h = modules[m_idx](xin, temb, zemb, train, (t_ch,))
+                    h_pk = True
+                else:
+                    if xpk:
+                        xin = un_s2d_width(xin)
+                    h = modules[m_idx](xin, temb, zemb, train, None)
+                    h_pk = False
                 m_idx += 1
                 # resolution test: W axis (reference NCHW shape[-1] == W)
-                if h.shape[2] in self.attn_resolutions:
+                if not h_pk and h.shape[2] in self.attn_resolutions:
                     h = modules[m_idx](h)
                     m_idx += 1
                 hs.append(h)
+                pks.append(h_pk)
 
             if i_level != num_resolutions - 1:
+                xin, xpk = hs[-1], pks[-1]
+                if xpk:
+                    xin = un_s2d_width(xin)
                 if self.resblock_type == "ddpm":
-                    h = modules[m_idx](hs[-1])
+                    h = modules[m_idx](xin)
                     m_idx += 1
                 else:
-                    h = modules[m_idx](hs[-1], temb, zemb, train)
+                    h = modules[m_idx](xin, temb, zemb, train, None)
                     m_idx += 1
 
                 if self.progressive_input == "input_skip":
@@ -410,13 +460,17 @@ class NCSNpp(nn.Module):
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
                 hs.append(h)
+                pks.append(False)
 
-        h = hs[-1]
-        h = modules[m_idx](h, temb, zemb, train)
+        h, h_pk = hs[-1], pks[-1]
+        if h_pk:
+            h = un_s2d_width(h)  # mid blocks run at the lowest resolution
+            h_pk = False
+        h = modules[m_idx](h, temb, zemb, train, None)
         m_idx += 1
         h = modules[m_idx](h)
         m_idx += 1
-        h = modules[m_idx](h, temb, zemb, train)
+        h = modules[m_idx](h, temb, zemb, train, None)
         m_idx += 1
 
         pyramid = None
@@ -424,12 +478,39 @@ class NCSNpp(nn.Module):
         # Upsampling
         for i_level in reversed(range(num_resolutions)):
             for i_block in range(self.num_res_blocks + 1):
-                h = modules[m_idx](
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, zemb, train
-                )
+                skip, spk = hs.pop(), pks.pop()
+                h_ch = h.shape[-1] // 2 if h_pk else h.shape[-1]
+                s_ch = skip.shape[-1] // 2 if spk else skip.shape[-1]
+                t_w = skip.shape[2] * 2 if spk else skip.shape[2]
+                out_ch = self.nf * self.ch_mult[i_level]
+                # in==out with a multi-block input would need a relayout on
+                # the identity skip (no Conv_2 in the reference there) —
+                # fall back to plain for that (contrived-config) case
+                if _elig(skip.shape[1], t_w, out_ch) and h_ch + s_ch != out_ch:
+                    if not h_pk:
+                        h = s2d_width(h)
+                    if not spk:
+                        skip = s2d_width(skip)
+                    h = modules[m_idx](
+                        jnp.concatenate([h, skip], axis=-1),
+                        temb, zemb, train, (h_ch, s_ch),
+                    )
+                    h_pk = True
+                else:
+                    if h_pk:
+                        h = un_s2d_width(h)
+                        h_pk = False
+                    if spk:
+                        skip = un_s2d_width(skip)
+                    h = modules[m_idx](
+                        jnp.concatenate([h, skip], axis=-1), temb, zemb, train, None
+                    )
                 m_idx += 1
 
-            if h.shape[2] in self.attn_resolutions:
+            if (h.shape[2] * 2 if h_pk else h.shape[2]) in self.attn_resolutions:
+                if h_pk:
+                    h = un_s2d_width(h)
+                    h_pk = False
                 h = modules[m_idx](h)
                 m_idx += 1
 
@@ -463,15 +544,21 @@ class NCSNpp(nn.Module):
                         h = pyramid
 
             if i_level != 0:
+                if h_pk:
+                    h = un_s2d_width(h)  # FIR up/down runs in plain layout
+                    h_pk = False
                 if self.resblock_type == "ddpm":
                     h = modules[m_idx](h)
                     m_idx += 1
                 else:
-                    h = modules[m_idx](h, temb, zemb, train)
+                    h = modules[m_idx](h, temb, zemb, train, None)
                     m_idx += 1
 
         assert not hs
 
+        if h_pk:
+            h = un_s2d_width(h)  # final GroupNorm+conv_out in plain layout
+            h_pk = False
         if self.progressive == "output_skip":
             h = pyramid
         else:

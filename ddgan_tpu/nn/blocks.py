@@ -35,11 +35,15 @@ class AdaptiveGroupNorm(nn.Module):
     num_groups: int
     style_dim: int  # kept for API clarity; inferred from input at call time
     dtype: Any = None
-    packed: bool = False  # x is in width-s2d layout [B,H,W/2,2C] (ops/s2d.py)
+    # x is in width-s2d layout (ops/s2d.py). None = plain; a tuple gives the
+    # true-channel block sizes when x is a concat of packed tensors
+    # [2C_1 | 2C_2 | ...] (up-path skip concats).
+    packed_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
-        channels = x.shape[-1] // 2 if self.packed else x.shape[-1]
+        packed = self.packed_splits is not None
+        channels = x.shape[-1] // 2 if packed else x.shape[-1]
 
         def style_bias_init(key, shape, dtype=jnp.float32):
             del key
@@ -74,11 +78,13 @@ class AdaptiveGroupNorm(nn.Module):
         xf = x.astype(jnp.float32)
         s1 = jnp.mean(xf, axis=(1, 2))  # [B, C] ([B, 2C] packed)
         s2 = jnp.mean(jnp.square(xf), axis=(1, 2))
-        if self.packed:
-            # packed channel = dj*C + c; the two dj halves carry equal
-            # pixel counts, so averaging them IS the full-row mean
-            s1 = 0.5 * (s1[:, :c] + s1[:, c:])
-            s2 = 0.5 * (s2[:, :c] + s2[:, c:])
+        if packed:
+            # within each split, packed channel = dj*C_s + c; the two dj
+            # halves carry equal pixel counts, so averaging them IS the
+            # full-row mean. Splits re-concatenate in ORIGINAL channel
+            # order so the group structure is unchanged.
+            s1 = _unpack_channel_vec(s1, self.packed_splits)
+            s2 = _unpack_channel_vec(s2, self.packed_splits)
         mean = s1.reshape(b_, g, cpg).mean(-1)
         var = s2.reshape(b_, g, cpg).mean(-1) - jnp.square(mean)
         rstd = jax.lax.rsqrt(var + 1e-6)  # [B, G]
@@ -99,14 +105,42 @@ class AdaptiveGroupNorm(nn.Module):
         b_f = beta.astype(jnp.float32) + (
             mu_dt.astype(jnp.float32) - mu_c
         ) * a_f
-        if self.packed:
-            # broadcast the per-channel affine to the dj*C+c packed axis
-            mu_dt = jnp.concatenate([mu_dt, mu_dt], axis=1)
-            a_f = jnp.concatenate([a_f, a_f], axis=1)
-            b_f = jnp.concatenate([b_f, b_f], axis=1)
+        if packed:
+            # broadcast the per-channel affine back to the packed axis
+            # (per split: duplicate over dj, then re-concatenate splits)
+            mu_dt = _pack_channel_vec(mu_dt, self.packed_splits)
+            a_f = _pack_channel_vec(a_f, self.packed_splits)
+            b_f = _pack_channel_vec(b_f, self.packed_splits)
         return (
             x.astype(dt) - mu_dt[:, None, None, :]
         ) * a_f[:, None, None, :].astype(dt) + b_f[:, None, None, :].astype(dt)
+
+
+def _unpack_channel_vec(v: jnp.ndarray, splits) -> jnp.ndarray:
+    """[B, 2*sum(splits)] per-packed-channel vector → [B, sum(splits)] in
+    original channel order, averaging the two dj halves of each split."""
+    if len(splits) == 1:
+        c = splits[0]
+        return 0.5 * (v[:, :c] + v[:, c:])
+    parts, off = [], 0
+    for cs in splits:
+        blk = v[:, off : off + 2 * cs]
+        parts.append(0.5 * (blk[:, :cs] + blk[:, cs:]))
+        off += 2 * cs
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pack_channel_vec(v: jnp.ndarray, splits) -> jnp.ndarray:
+    """[B, sum(splits)] per-true-channel vector → [B, 2*sum(splits)] in the
+    concat-of-packed layout (each split duplicated over dj)."""
+    if len(splits) == 1:
+        return jnp.concatenate([v, v], axis=1)
+    parts, off = [], 0
+    for cs in splits:
+        blk = v[:, off : off + cs]
+        parts.append(jnp.concatenate([blk, blk], axis=1))
+        off += cs
+    return jnp.concatenate(parts, axis=1)
 
 
 class GaussianFourierProjection(nn.Module):
@@ -348,7 +382,9 @@ class ResnetBlockDDPMppAdagn(nn.Module):
         temb: jnp.ndarray | None = None,
         zemb: jnp.ndarray | None = None,
         train: bool = False,
+        packed_splits: tuple | None = None,
     ) -> jnp.ndarray:
+        assert packed_splits is None, "ddpm blocks have no packed path"
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(
@@ -393,11 +429,12 @@ class ResnetBlockBigGANppAdagn(nn.Module):
         temb: jnp.ndarray | None = None,
         zemb: jnp.ndarray | None = None,
         train: bool = False,
+        packed_splits: tuple | None = None,
     ) -> jnp.ndarray:
+        if packed_splits is not None:
+            return self._s2d_packed(x, temb, zemb, train, packed_splits)
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        if _s2d_block_eligible(self, x, in_ch, out_ch, train):
-            return self._s2d_closed(x, temb, zemb, train)
         h = self.act(
             AdaptiveGroupNorm(_num_groups(in_ch), 0, dtype=self.dtype, name="GroupNorm_0")(x, zemb)
         )
@@ -432,59 +469,47 @@ class ResnetBlockBigGANppAdagn(nn.Module):
             return x + h
         return (x + h) / np.sqrt(2.0)
 
-    def _s2d_closed(self, x, temb, zemb, train):
-        """Whole-block width-s2d closure (DDGAN_TPU_S2D_CONV=1, stride-1
-        in_ch==out_ch blocks): ONE pack at entry, ONE unpack at exit.
-        Per-conv boxing pays 4 tile-relayout copies per block and breaks
-        prologue fusion — profiled on-chip at +34 ms/step data formatting
-        for the celeba256 recipe. Both adaGNs take lane-aligned [B,2C]
-        stats in packed space (2C = 128 full lanes); convs are the
-        custom_vjp packed kernels (ops/s2d.py). Param tree identical to
-        the default path — checkpoints stay flag-agnostic. Consecutive
-        closed blocks cancel their unpack∘pack reshapes under XLA."""
-        from ..ops.s2d import s2d_width, un_s2d_width
-
-        out_ch = self.out_ch or x.shape[-1]
+    def _s2d_packed(self, x, temb, zemb, train, splits):
+        """Width-s2d resblock body: x arrives AND leaves in the packed
+        layout [B,H,W/2,2C] — pack/unpack boundaries are managed by the
+        whole-REGION closure in models/ncsnpp.py (one entry/exit per
+        resolution region, not per block — per-block boxing was measured
+        at +34 ms/step of tile-relayout copies on the celeba256 recipe,
+        r4 perf/ evidence). `splits` gives the true-channel block sizes
+        when x is a concat of packed tensors (up-path skips,
+        ncsnpp_generator_adagn.py:215-230). Both adaGNs take lane-aligned
+        [B,2C] stats in packed space (2C ≥ 128 full lanes); convs are the
+        widened-kernel packed kernels (ops/s2d.py), the 1×1 skip is
+        block-diagonal widened. Param tree identical to the default path
+        — checkpoints stay flag-agnostic. Stride-1 only (no up/down)."""
+        assert not self.up and not self.down
+        in_ch = sum(splits)
+        out_ch = self.out_ch or in_ch
+        # identity skip needs a layout-compatible x: single block, or a
+        # Conv_2 rebuild (in_ch != out_ch)
+        assert len(splits) == 1 or in_ch != out_ch, (splits, out_ch)
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        p = s2d_width(x)
         h = self.act(
-            AdaptiveGroupNorm(_num_groups(out_ch), 0, dtype=self.dtype,
-                              packed=True, name="GroupNorm_0")(p, zemb)
+            AdaptiveGroupNorm(_num_groups(in_ch), 0, dtype=self.dtype,
+                              packed_splits=splits, name="GroupNorm_0")(x, zemb)
         )
-        h = Conv3x3(out_ch, dtype=self.dtype, packed_io=True, name="Conv_0")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, packed_io=True,
+                    packed_splits=splits, name="Conv_0")(h)
         if temb is not None:
             tb = _TembProj(out_ch, dtype=self.dtype, name="Dense_0")(self.act(temb))
             h = h + jnp.concatenate([tb, tb], axis=-1)[:, None, None, :]
         h = self.act(
             AdaptiveGroupNorm(_num_groups(out_ch), 0, dtype=self.dtype,
-                              packed=True, name="GroupNorm_1")(h, zemb)
+                              packed_splits=(out_ch,), name="GroupNorm_1")(h, zemb)
         )
         h = nn.Dropout(self.dropout, name="Dropout_0")(h, deterministic=not train)
         h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
-                    packed_io=True, name="Conv_1")(h)
-        out = p + h if not self.skip_rescale else (p + h) / np.sqrt(2.0)
-        return un_s2d_width(out)
-
-
-def _s2d_block_eligible(blk, x, in_ch, out_ch, train) -> bool:
-    """Whole-block s2d closure applies to stride-1 identity-skip blocks.
-    Dropout>0 in train mode falls back to per-conv boxing: the packed
-    mask shape would re-associate dropout randomness to pixels
-    (distributionally identical but not bitwise parity with the flag
-    off)."""
-    import os
-
-    from .layers import _s2d_eligible
-
-    return (
-        os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
-        and not blk.up
-        and not blk.down
-        and in_ch == out_ch
-        and (blk.dropout == 0.0 or not train)
-        and _s2d_eligible(x, out_ch)
-    )
+                    packed_io=True, packed_splits=(out_ch,), name="Conv_1")(h)
+        if in_ch != out_ch:
+            x = Conv1x1(out_ch, dtype=self.dtype, packed_io=True,
+                        packed_splits=splits, name="Conv_2")(x)
+        return x + h if not self.skip_rescale else (x + h) / np.sqrt(2.0)
 
 
 class ResnetBlockBigGANppAdagnOne(nn.Module):
@@ -508,7 +533,9 @@ class ResnetBlockBigGANppAdagnOne(nn.Module):
         temb: jnp.ndarray | None = None,
         zemb: jnp.ndarray | None = None,
         train: bool = False,
+        packed_splits: tuple | None = None,
     ) -> jnp.ndarray:
+        assert packed_splits is None, "oneadagn blocks have no packed path"
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(

@@ -147,6 +147,7 @@ class _S2DConv(nn.Module):
     dtype: Any = None
     use_bias: bool = True
     packed_io: bool = False  # input AND output already in s2d layout
+    packed_splits: tuple | None = None  # input channel blocks (concat-of-packed)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -160,11 +161,11 @@ class _S2DConv(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
-        # custom_vjp: fwd + d/dx lane-full in s2d space, d/dW in the
-        # original space (the widened weight-grad's 2x dense FLOPs were
-        # measured to erase the win — see ops/s2d.py).
+        # plain AD through the widened kernel — the custom_vjp that routed
+        # d/dW through the original space was measured SLOWER end-to-end
+        # (see ops/s2d.py conv3x3_s2d_packed_cvjp).
         if self.packed_io:
-            y = conv3x3_s2d_packed(x, kernel)
+            y = conv3x3_s2d_packed(x, kernel, self.packed_splits)
         else:
             y = conv3x3_s2d_auto(x, kernel)
         if self.use_bias:
@@ -173,6 +174,40 @@ class _S2DConv(nn.Module):
             if self.packed_io:
                 b = jnp.concatenate([b, b], axis=0)  # packed channel = dj*F+f
             y = y + b
+        return y
+
+
+class _S2D1x1(nn.Module):
+    """Packed-layout 1×1 conv: same params as nn.Conv ([1,1,C,F] kernel +
+    [F] bias, same inits/names) but input AND output live in the width-s2d
+    layout. The widened matrix is block-diagonal over the width
+    sub-position (ops/s2d.py widen_1x1_kernel_splits), so the skip-path
+    Conv_2 of a BigGAN resblock stays inside a packed region with zero
+    activation relayout. Ref: layers.py:114-120 (ddpm_conv1x1)."""
+
+    features: int
+    init_scale: float = 1.0
+    dtype: Any = None
+    use_bias: bool = True
+    packed_splits: tuple | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import widen_1x1_kernel_splits
+
+        in_ch = x.shape[-1] // 2
+        splits = self.packed_splits or (in_ch,)
+        kernel = self.param(
+            "kernel", default_init(self.init_scale), (1, 1, in_ch, self.features)
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        wide = widen_1x1_kernel_splits(kernel.reshape(in_ch, self.features), splits)
+        y = jnp.tensordot(x, wide, axes=1)
+        if self.use_bias:
+            bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+            y = y + jnp.concatenate([bias, bias], axis=0).astype(y.dtype)
         return y
 
 
@@ -196,6 +231,7 @@ class Conv3x3(nn.Module):
     padding: int = 1
     dtype: Any = None
     packed_io: bool = False  # caller keeps x in s2d layout (blocks.py closure)
+    packed_splits: tuple | None = None  # input channel blocks when packed_io
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -204,10 +240,17 @@ class Conv3x3(nn.Module):
             # default path ([3,3,C,F] kernel under "conv")
             return _S2DConv(
                 self.features, self.init_scale, self.dtype,
-                use_bias=self.use_bias, packed_io=True, name="conv",
+                use_bias=self.use_bias, packed_io=True,
+                packed_splits=self.packed_splits, name="conv",
             )(x)
         if (
-            os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
+            # Per-conv boxing (pack→conv→unpack around ONE conv) is a
+            # measured NET LOSS on the 256² recipes (celeba256 200.4 ms vs
+            # 176.9 baseline, r4): every box pays 2 tile-relayout copies ×
+            # remat. Kept ONLY as an opt-in experiment knob; the production
+            # path is whole-region closure driven by models/ncsnpp.py
+            # under DDGAN_TPU_S2D_CONV=1.
+            os.environ.get("DDGAN_TPU_S2D_BOXED") == "1"
             and self.stride == 1
             and self.dilation == 1
             and self.padding == 1
@@ -260,9 +303,18 @@ class Conv1x1(nn.Module):
     init_scale: float = 1.0
     padding: int = 0
     dtype: Any = None
+    packed_io: bool = False  # x in width-s2d layout (blocks.py region closure)
+    packed_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.packed_io:
+            assert self.stride == 1 and self.padding == 0
+            return _S2D1x1(
+                self.features, self.init_scale, self.dtype,
+                use_bias=self.use_bias, packed_splits=self.packed_splits,
+                name="conv",
+            )(x)
         return nn.Conv(
             self.features,
             kernel_size=(1, 1),

@@ -127,6 +127,52 @@ def widen_s2d_kernel_stride2(w3, out_dtype=None):
     return out
 
 
+def widen_s2d_kernel_splits(w3, splits, out_dtype=None):
+    """Widen [3,3,C_total,F] for a packed input that is a CONCAT of
+    independently packed tensors: layout [2C_1 | 2C_2 | ...], each block
+    dj-major (the up-path skip concats of ncsnpp_generator_adagn.py:215-230
+    produce exactly this when both operands live in the s2d layout —
+    concat(pack(a), pack(b)) permutes channels relative to
+    pack(concat(a, b)), and the permutation is absorbed here instead of
+    paying a relayout on the activations).
+
+    widen_s2d_kernel is linear and dj-major per input block, so the
+    split-aware kernel is just the per-split widenings concatenated on
+    the input-channel axis. sum(splits) must equal C_total.
+    """
+    xp = jnp if isinstance(w3, jnp.ndarray) else np
+    assert sum(splits) == w3.shape[2], (splits, w3.shape)
+    parts = []
+    off = 0
+    for cs in splits:
+        parts.append(widen_s2d_kernel(w3[:, :, off : off + cs, :]))
+        off += cs
+    out = xp.concatenate(parts, axis=2)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def widen_1x1_kernel_splits(w1, splits):
+    """[C_total, F] → [2C_total, 2F] for a (possibly concat-of-packed)
+    packed input. A 1×1 conv mixes no pixels, so its widened form is
+    block-diagonal over the width sub-position: per split s,
+    w'[dj*C_s + c, eo*F + f] = w1[off_s + c, f] · [dj == eo].
+    """
+    xp = jnp if isinstance(w1, jnp.ndarray) else np
+    c_total, f = w1.shape
+    assert sum(splits) == c_total, (splits, w1.shape)
+    rows = []
+    off = 0
+    for cs in splits:
+        blk = w1[off : off + cs]
+        z = xp.zeros_like(blk)
+        rows.append(xp.concatenate([blk, z], axis=1))  # dj=0 → eo=0
+        rows.append(xp.concatenate([z, blk], axis=1))  # dj=1 → eo=1
+        off += cs
+    return xp.concatenate(rows, axis=0)
+
+
 def conv3x3_s2d(y: jnp.ndarray, w_s2d: jnp.ndarray) -> jnp.ndarray:
     """Stride-1 3×3 conv in the width-s2d layout (layout-closed)."""
     return lax.conv_general_dilated(
@@ -150,7 +196,7 @@ def _plain_conv3x3(x: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def conv3x3_s2d_packed(p: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+def conv3x3_s2d_packed(p: jnp.ndarray, w3: jnp.ndarray, splits=None) -> jnp.ndarray:
     """3×3 stride-1 pad-1 conv, packed [B,H,W',2C] in → packed [B,H,W',2F]
     out, differentiated by PLAIN AD through the widened kernel. Equals
     _plain_conv3x3(un_s2d_width(p), w3) in packed form.
@@ -168,7 +214,12 @@ def conv3x3_s2d_packed(p: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
     d/dW through the original space benched 208.2 ms/step vs 200.4 for
     plain AD (boxed, vs 176.9 no-s2d baseline): the "saved" zero-FLOPs
     cost more as lost lane-fill plus the residual unpack relayouts.
+
+    splits: channel-block sizes when p is a concat of packed tensors
+    (see widen_s2d_kernel_splits); None ⇒ single block.
     """
+    if splits is not None and len(splits) > 1:
+        return conv3x3_s2d(p, widen_s2d_kernel_splits(w3, splits))
     return conv3x3_s2d(p, widen_s2d_kernel(w3))
 
 

@@ -115,68 +115,107 @@ def test_s2d_auto_and_cvjp_match_plain_ad():
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_biggan_block_s2d_closure_matches_default(monkeypatch):
-    """DDGAN_TPU_S2D_CONV=1 routes eligible identity-skip BigGAN blocks
-    through the whole-block packed closure (one pack/unpack per block,
-    packed adaGN stats, packed custom_vjp convs). Same param tree, same
-    forward numerics, same parameter gradients as the flag-off path."""
+def test_widen_splits_exact():
+    """Concat-of-packed inputs (up-path skip concats): the split-aware
+    widened kernel must equal the plain conv on concat(a, b)."""
+    from ddgan_tpu.ops.s2d import widen_s2d_kernel_splits
+
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randn(2, 6, 12, 5), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 6, 12, 3), jnp.float32)
+    w3 = jnp.asarray(rng.randn(3, 3, 8, 4) * 0.3, jnp.float32)
+    ref = _conv(jnp.concatenate([a, b], axis=-1), w3, 1)
+    p = jnp.concatenate([s2d_width(a), s2d_width(b)], axis=-1)
+    got = un_s2d_width(conv3x3_s2d(p, widen_s2d_kernel_splits(w3, (5, 3))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_widen_1x1_splits_exact():
+    """Packed 1×1 (skip Conv_2): block-diagonal widened matrix equals the
+    plain 1×1 conv, including the concat-of-packed permutation."""
+    from ddgan_tpu.ops.s2d import widen_1x1_kernel_splits
+
+    rng = np.random.RandomState(8)
+    a = jnp.asarray(rng.randn(2, 4, 10, 5), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 4, 10, 3), jnp.float32)
+    w1 = jnp.asarray(rng.randn(8, 6) * 0.3, jnp.float32)
+    ref = jnp.tensordot(jnp.concatenate([a, b], axis=-1), w1, axes=1)
+    p = jnp.concatenate([s2d_width(a), s2d_width(b)], axis=-1)
+    got = un_s2d_width(jnp.tensordot(p, widen_1x1_kernel_splits(w1, (5, 3)), axes=1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_biggan_block_packed_matches_default():
+    """The packed resblock body (packed_splits=) must match the default
+    path numerically — forward AND parameter grads — with the identical
+    param tree, for both the identity-skip (single split) and the
+    channel-changing concat-input (two splits, Conv_2 1×1) forms."""
     from ddgan_tpu.nn.blocks import ResnetBlockBigGANppAdagn
 
     rng = np.random.RandomState(6)
-    x = jnp.asarray(rng.randn(2, 128, 128, 8), jnp.float32)
     temb = jnp.asarray(rng.randn(2, 16), jnp.float32)
     zemb = jnp.asarray(rng.randn(2, 12), jnp.float32)
-    blk = ResnetBlockBigGANppAdagn(act=jax.nn.silu, dropout=0.0)
 
-    monkeypatch.delenv("DDGAN_TPU_S2D_CONV", raising=False)
-    params = blk.init(jax.random.PRNGKey(0), x, temb, zemb)
-    ref = blk.apply(params, x, temb, zemb)
+    cases = [
+        # (input true-channel splits, out_ch)
+        ((8,), None),      # identity skip, single split
+        ((8, 4), 8),       # up-path concat, Conv_2 skip rebuild
+    ]
+    for splits, out_ch in cases:
+        parts = [
+            jnp.asarray(rng.randn(2, 32, 64, cs), jnp.float32) for cs in splits
+        ]
+        x = jnp.concatenate(parts, axis=-1)
+        xp = jnp.concatenate([s2d_width(p) for p in parts], axis=-1)
+        blk = ResnetBlockBigGANppAdagn(act=jax.nn.silu, dropout=0.0, out_ch=out_ch)
+        params = blk.init(jax.random.PRNGKey(0), x, temb, zemb)
+        params_p = blk.init(jax.random.PRNGKey(0), xp, temb, zemb,
+                            packed_splits=splits)
+        assert jax.tree.structure(params) == jax.tree.structure(params_p)
+        ref = blk.apply(params, x, temb, zemb)
+        got = un_s2d_width(blk.apply(params, xp, temb, zemb,
+                                     packed_splits=splits))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
 
-    def loss(p, use_apply_blk):
-        return jnp.sum(use_apply_blk.apply(p, x, temb, zemb) ** 2)
+        def loss_plain(p):
+            return jnp.sum(blk.apply(p, x, temb, zemb) ** 2)
 
-    g_ref = jax.grad(loss)(params, blk)
+        def loss_packed(p):
+            return jnp.sum(
+                blk.apply(p, xp, temb, zemb, packed_splits=splits) ** 2
+            )
 
-    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
-    blk2 = ResnetBlockBigGANppAdagn(act=jax.nn.silu, dropout=0.0)
-    params2 = blk2.init(jax.random.PRNGKey(0), x, temb, zemb)
-    assert jax.tree.structure(params) == jax.tree.structure(params2)
-    got = blk2.apply(params, x, temb, zemb)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
-    g_got = jax.grad(loss)(params, blk2)
-    for a, b, path in zip(
-        jax.tree.leaves(g_got), jax.tree.leaves(g_ref),
-        [p for p, _ in jax.tree_util.tree_leaves_with_path(g_ref)],
-    ):
-        # atol covers f32 reduction-reorder noise on near-cancelling
-        # sums (grads are O(100) here, summed over 16k pixels)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=5e-3, err_msg=str(path))
-
-    # ineligible (up/down or channel-changing) blocks keep the default path
-    blk3 = ResnetBlockBigGANppAdagn(act=jax.nn.silu, down=True, dropout=0.0)
-    p3 = blk3.init(jax.random.PRNGKey(1), x, temb, zemb)
-    assert blk3.apply(p3, x, temb, zemb).shape == (2, 64, 64, 8)
+        g_ref = jax.grad(loss_plain)(params)
+        g_got = jax.grad(loss_packed)(params)
+        for a, b, path in zip(
+            jax.tree.leaves(g_got), jax.tree.leaves(g_ref),
+            [p for p, _ in jax.tree_util.tree_leaves_with_path(g_ref)],
+        ):
+            # atol covers f32 reduction-reorder noise on near-cancelling
+            # sums (grads are O(100) here, summed over thousands of pixels)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=5e-3, err_msg=str(path))
 
 
-def test_conv3x3_s2d_flag_path_matches_default(monkeypatch):
-    """DDGAN_TPU_S2D_CONV=1 must keep the SAME param tree (conv/kernel +
-    conv/bias) and the same numerics as the default nn.Conv path, so
-    checkpoints are flag-agnostic (mirrors the _PairConv contract)."""
-    import os
-
+def test_conv3x3_s2d_boxed_flag_matches_default(monkeypatch):
+    """DDGAN_TPU_S2D_BOXED=1 (the measured-and-rejected per-conv boxing,
+    kept as an experiment knob) must keep the SAME param tree (conv/kernel
+    + conv/bias) and numerics as the default nn.Conv path, so checkpoints
+    are flag-agnostic (mirrors the _PairConv contract)."""
     from ddgan_tpu.nn.layers import Conv3x3
 
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 128, 128, 4), jnp.float32)
 
-    monkeypatch.delenv("DDGAN_TPU_S2D_CONV", raising=False)
+    monkeypatch.delenv("DDGAN_TPU_S2D_BOXED", raising=False)
     mod = Conv3x3(features=6)
     params = mod.init(jax.random.PRNGKey(0), x)
     ref = mod.apply(params, x)
 
-    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
+    monkeypatch.setenv("DDGAN_TPU_S2D_BOXED", "1")
     mod2 = Conv3x3(features=6)
     params2 = mod2.init(jax.random.PRNGKey(0), x)
     assert jax.tree.structure(params) == jax.tree.structure(params2)
@@ -193,3 +232,50 @@ def test_conv3x3_s2d_flag_path_matches_default(monkeypatch):
     small = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
     out = mod2.apply(mod2.init(jax.random.PRNGKey(1), small), small)
     assert out.shape == (1, 16, 16, 6)
+
+
+def test_ncsnpp_s2d_region_parity(monkeypatch):
+    """DDGAN_TPU_S2D_CONV=1 drives the whole-region closure in
+    NCSNpp.__call__: identical param tree, forward numerics and parameter
+    grads vs the flag-off model, on a config whose 128² level is eligible
+    (packed skips through hs, concat splits in the up path, boundary
+    unpacks at the FIR transition and final GN)."""
+    from ddgan_tpu.models.ncsnpp import NCSNpp
+
+    kw = dict(
+        nf=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(4,),
+        image_size=128, dropout=0.0, resblock_type="biggan",
+        progressive="none", progressive_input="residual",
+        embedding_type="positional", nz=16, z_emb_dim=16, n_mlp=1,
+        use_remat=True,  # production 256² recipe setting; exercises the
+        # static_argnums=(4,5) checkpoint wrapper around packed blocks
+    )
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(2, 128, 128, 3), jnp.float32)
+    t = jnp.asarray([0, 1], jnp.int32)
+    z = jnp.asarray(rng.randn(2, 16), jnp.float32)
+
+    monkeypatch.delenv("DDGAN_TPU_S2D_CONV", raising=False)
+    m = NCSNpp(**kw)
+    params = m.init(jax.random.PRNGKey(0), x, t, z)
+    ref = m.apply(params, x, t, z)
+
+    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
+    m2 = NCSNpp(**kw)
+    params2 = m2.init(jax.random.PRNGKey(0), x, t, z)
+    assert jax.tree.structure(params) == jax.tree.structure(params2)
+    got = m2.apply(params, x, t, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(p, mdl):
+        return jnp.sum(mdl.apply(p, x, t, z) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, m))(params)
+    g_got = jax.grad(lambda p: loss(p, m2))(params)
+    for a, b, path in zip(
+        jax.tree.leaves(g_got), jax.tree.leaves(g_ref),
+        [p for p, _ in jax.tree_util.tree_leaves_with_path(g_ref)],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-3, err_msg=str(path))
