@@ -74,6 +74,13 @@ class NCSNpp(nn.Module):
     centered: bool = True
     dtype: Any = None  # compute dtype for the conv/attn path (params f32)
     use_remat: bool = False  # jax.checkpoint each ResBlock (256² configs)
+    # width-s2d region closure for small-C ≥128² levels ("auto" = on where
+    # eligible — measured 1.11×/1.09× on the celeba256/lsun256 recipes,
+    # perf/r4_*_region_s2d.txt; "off" disables). Numerics match the plain
+    # path to f32 parity-test tolerance and the param tree is identical,
+    # so checkpoints are setting-agnostic. Env DDGAN_TPU_S2D_CONV=1/0
+    # overrides either way (A/B benching).
+    s2d_conv: str = "auto"
 
     @classmethod
     def from_config(cls, config: Any) -> "NCSNpp":
@@ -81,6 +88,7 @@ class NCSNpp(nn.Module):
         return cls(
             dtype=dtype,
             use_remat=bool(getattr(config, "use_remat", False)),
+            s2d_conv=str(getattr(config, "s2d_conv", "auto")).lower(),
             nf=config.num_channels_dae,
             ch_mult=tuple(config.ch_mult),
             num_res_blocks=config.num_res_blocks,
@@ -389,8 +397,10 @@ class NCSNpp(nn.Module):
         # formatting on the celeba256 recipe (perf/r4_prof_celeba256_*);
         # the op-level win of the packed formulation under full backward
         # is 2.68× (perf/r4_exp_conv256_fullbwd.txt).
+        env = os.environ.get("DDGAN_TPU_S2D_CONV")
+        s2d_on = (env == "1") if env in ("0", "1") else (self.s2d_conv != "off")
         region = (
-            os.environ.get("DDGAN_TPU_S2D_CONV") == "1"
+            s2d_on
             and self.resblock_type == "biggan"
             and self.progressive == "none"
             and (self.dropout == 0.0 or not train)

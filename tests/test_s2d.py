@@ -234,6 +234,18 @@ def test_conv3x3_s2d_boxed_flag_matches_default(monkeypatch):
     assert out.shape == (1, 16, 16, 6)
 
 
+def test_s2d_conv_config_key():
+    """`s2d_conv` rides the config like use_remat (extra attr, getattr'd by
+    from_config): "off" disables the region closure, absent → "auto"."""
+    from ddgan_tpu.config import Config
+    from ddgan_tpu.models.ncsnpp import NCSNpp
+
+    assert NCSNpp.from_config(Config()).s2d_conv == "auto"
+    cfg = Config()
+    setattr(cfg, "s2d_conv", "OFF")
+    assert NCSNpp.from_config(cfg).s2d_conv == "off"
+
+
 def test_ncsnpp_s2d_region_parity(monkeypatch):
     """DDGAN_TPU_S2D_CONV=1 drives the whole-region closure in
     NCSNpp.__call__: identical param tree, forward numerics and parameter
@@ -255,10 +267,17 @@ def test_ncsnpp_s2d_region_parity(monkeypatch):
     t = jnp.asarray([0, 1], jnp.int32)
     z = jnp.asarray(rng.randn(2, 16), jnp.float32)
 
-    monkeypatch.delenv("DDGAN_TPU_S2D_CONV", raising=False)
+    def loss(p, mdl):
+        return jnp.sum(mdl.apply(p, x, t, z) ** 2)
+
+    # "0" forces the plain path even though the model default is auto-on.
+    # NB: the env var is read at TRACE time inside __call__, so ref AND
+    # g_ref must both be computed while it is "0".
+    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "0")
     m = NCSNpp(**kw)
     params = m.init(jax.random.PRNGKey(0), x, t, z)
     ref = m.apply(params, x, t, z)
+    g_ref = jax.grad(lambda p: loss(p, m))(params)
 
     monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
     m2 = NCSNpp(**kw)
@@ -267,11 +286,6 @@ def test_ncsnpp_s2d_region_parity(monkeypatch):
     got = m2.apply(params, x, t, z)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
-
-    def loss(p, mdl):
-        return jnp.sum(mdl.apply(p, x, t, z) ** 2)
-
-    g_ref = jax.grad(lambda p: loss(p, m))(params)
     g_got = jax.grad(lambda p: loss(p, m2))(params)
     for a, b, path in zip(
         jax.tree.leaves(g_got), jax.tree.leaves(g_ref),
