@@ -399,11 +399,16 @@ class NCSNpp(nn.Module):
         # is 2.68× (perf/r4_exp_conv256_fullbwd.txt).
         env = os.environ.get("DDGAN_TPU_S2D_CONV")
         s2d_on = (env == "1") if env in ("0", "1") else (self.s2d_conv != "off")
+        # NB: no dropout gate — the packed resblock draws its mask in the
+        # packed shape, which re-associates the iid Bernoulli bits to
+        # different pixels than the plain path (same distribution, not the
+        # same mask). The reference recipes train with the config-default
+        # dropout, so gating on dropout==0 would silently disable the
+        # closure for exactly the runs it targets.
         region = (
             s2d_on
             and self.resblock_type == "biggan"
             and self.progressive == "none"
-            and (self.dropout == 0.0 or not train)
         )
         if region:
             from ..ops.s2d import s2d_width, un_s2d_width

@@ -234,6 +234,39 @@ def test_conv3x3_s2d_boxed_flag_matches_default(monkeypatch):
     assert out.shape == (1, 16, 16, 6)
 
 
+def test_ncsnpp_s2d_region_train_dropout(monkeypatch):
+    """dropout>0 does NOT disable the region (the reference recipes train
+    at the config-default dropout): the packed blocks draw masks in the
+    packed shape — same iid distribution, different pixel association.
+    Smoke: train-mode forward is finite and dropout actually acts."""
+    from ddgan_tpu.models.ncsnpp import NCSNpp
+
+    kw = dict(
+        nf=8, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(4,),
+        image_size=128, dropout=0.5, resblock_type="biggan",
+        progressive="none", progressive_input="residual",
+        embedding_type="positional", nz=8, z_emb_dim=8, n_mlp=1,
+    )
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+    t = jnp.asarray([0], jnp.int32)
+    z = jnp.asarray(rng.randn(1, 8), jnp.float32)
+
+    monkeypatch.setenv("DDGAN_TPU_S2D_CONV", "1")
+    m = NCSNpp(**kw)
+    params = m.init(jax.random.PRNGKey(0), x, t, z)
+    out_eval = m.apply(params, x, t, z, train=False)
+    out_tr1 = m.apply(params, x, t, z, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    out_tr2 = m.apply(params, x, t, z, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    for o in (out_eval, out_tr1, out_tr2):
+        assert bool(jnp.isfinite(o).all())
+    # dropout acts: different masks → different outputs; eval ≠ train
+    assert float(jnp.abs(out_tr1 - out_tr2).max()) > 0
+    assert float(jnp.abs(out_tr1 - out_eval).max()) > 0
+
+
 def test_s2d_conv_config_key():
     """`s2d_conv` rides the config like use_remat (extra attr, getattr'd by
     from_config): "off" disables the region closure, absent → "auto"."""

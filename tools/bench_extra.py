@@ -81,6 +81,66 @@ def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
     }
 
 
+def bench_sampler256(batch: int = 16, n_iters: int = 5, recipe: str = "celeba256") -> dict:
+    """256² generation throughput (serving-path analog of the reference's
+    test_ddgan.py sampling loop at the readme.md:39-57 recipes): T-step
+    reverse diffusion through the full 39.8M-param NCSNpp at 256², bf16,
+    fresh z per step. Region s2d closure applies per the model default."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _cache()
+    from ddgan_tpu.config import Config
+    from ddgan_tpu.diffusion import PosteriorCoefficients, sample_from_model
+    from ddgan_tpu.models import NCSNpp
+
+    lsun = recipe == "lsun256"
+    cfg = Config(
+        dataset="lsun" if lsun else "celeba_256",
+        image_size=256, num_channels=3,
+        num_channels_dae=64, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+        attn_resolutions=[16], nz=100, z_emb_dim=256, n_mlp=3,
+        t_emb_dim=256, num_timesteps=4 if lsun else 2,
+        dropout=0.0, compute_dtype="bfloat16",
+    )
+    gen = NCSNpp.from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = gen.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, 256, 256, 3), jnp.float32), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, cfg.nz), jnp.float32),
+    )
+    pos_coeff = PosteriorCoefficients.create(
+        cfg.num_timesteps, cfg.beta_min, cfg.beta_max
+    )
+
+    def model_fn(xt, t, z):
+        return gen.apply(variables, xt, t, z, train=False)
+
+    @jax.jit
+    def sample(key):
+        kx, kz = jax.random.split(key)
+        x_init = jax.random.normal(kx, (batch, 256, 256, 3))
+        return sample_from_model(
+            pos_coeff, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz
+        )
+
+    out = sample(key)  # compile
+    _ = float(out.reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        key, k = jax.random.split(key)
+        out = sample(k)
+    _ = float(out.reshape(-1)[0])
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"{recipe}_t{cfg.num_timesteps}_sampler_samples_per_sec_per_chip",
+        "value": round(batch * n_iters / dt, 2),
+        "unit": "samples/sec/chip",
+    }
+
+
 def build_celeba256_step(
     use_remat: bool = True, batch_size: int = 4, recipe: str = "celeba256"
 ):
@@ -191,16 +251,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "which",
-        choices=["sampler", "celeba256", "celeba256-noremat", "lsun256"],
+        choices=["sampler", "sampler256", "sampler256-lsun",
+                 "celeba256", "celeba256-noremat", "lsun256"],
     )
     ap.add_argument("--batch", type=int, default=0,
-                    help="per-chip batch (sampler default 256; celeba256 "
-                         "default 4, the recipe's per-GPU batch; lsun256 "
-                         "default 8, its per-GPU batch)")
+                    help="per-chip batch (sampler default 256; sampler256 "
+                         "default 16; celeba256 default 4, the recipe's "
+                         "per-GPU batch; lsun256 default 8, its per-GPU batch)")
     args = ap.parse_args()
     if args.which == "sampler":
         out = bench_sampler(batch=args.batch or 256)
         out["batch_per_call"] = args.batch or 256
+    elif args.which in ("sampler256", "sampler256-lsun"):
+        out = bench_sampler256(
+            batch=args.batch or 16,
+            recipe="lsun256" if args.which.endswith("lsun") else "celeba256",
+        )
+        out["batch_per_call"] = args.batch or 16
     elif args.which == "lsun256":
         out = bench_celeba256(
             batch_size=args.batch or 8, recipe="lsun256"
