@@ -73,6 +73,12 @@ def main():
                          "for both the train subprocess and the FID sweep — "
                          "cpu keeps the evidence producible during TPU "
                          "tunnel outages (note it in the artifact)")
+    ap.add_argument("--out", default="QUALITY_LARGED_r04.json",
+                    help="artifact filename at the repo root (use a distinct "
+                         "name for non-default --size runs, e.g. "
+                         "QUALITY_256_r04.json for the full-resolution recipe)")
+    ap.add_argument("--exp", default="larged",
+                    help="experiment name under saved_info/dd_gan/custom/")
     args = ap.parse_args()
 
     if args.platform:
@@ -92,7 +98,7 @@ def main():
         make_jpeg_folder(root, args.n_train, args.n_real, args.size, args.seed)
 
     os.chdir(root)
-    exp_path = root / "saved_info" / "dd_gan" / "custom" / "larged"
+    exp_path = root / "saved_info" / "dd_gan" / "custom" / args.exp
 
     if not args.skip_train:
         cmd = [
@@ -112,7 +118,7 @@ def main():
             "--use_ema", "--ema_decay", "0.999",
             "--compute_dtype", "bfloat16",
             "--to_tensor_transform", "yes", "--use_normalize", "yes",
-            "--exp", "larged", "--seed", str(args.seed),
+            "--exp", args.exp, "--seed", str(args.seed),
             "--save_content", "--save_content_every", "10",
             "--save_ckpt_every", str(args.ckpt_every),
             "--num_workers", "2",
@@ -172,7 +178,7 @@ def main():
             curve.append({"epoch": e, "fid_ema": float(done.read_text().strip())})
             continue
         fid = float(test_cli.main([
-            "--dataset", "custom", "--exp", "larged", "--epoch_id", str(e),
+            "--dataset", "custom", "--exp", args.exp, "--epoch_id", str(e),
             "--compute_fid", "--real_img_dir", str(root / "real"),
             "--num_fid_samples", str(args.fid_samples),
             "--batch_size", "128", "--seed", str(args.seed),
@@ -201,7 +207,7 @@ def main():
         "fid_descending": bool(descending),
         "config": {k: getattr(args, k) for k in vars(args)},
     }
-    with open(REPO / "QUALITY_LARGED_r04.json", "w") as f:
+    with open(REPO / args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
