@@ -74,6 +74,12 @@ class NCSNpp(nn.Module):
     centered: bool = True
     dtype: Any = None  # compute dtype for the conv/attn path (params f32)
     use_remat: bool = False  # jax.checkpoint each ResBlock (256² configs)
+    # remat policy when use_remat: "full" recomputes the whole block in the
+    # backward pass; "save-convs" saves the MXU-bound conv outputs
+    # (nn/layers.py name_conv_out tags) and recomputes only the elementwise
+    # chain — trades ~1 fwd of generator conv FLOPs for the conv
+    # activations' HBM. Env DDGAN_TPU_REMAT_POLICY overrides (A/B benching).
+    remat_policy: str = "full"
     # width-s2d region closure for small-C ≥128² levels ("auto" = on where
     # eligible — measured 1.11×/1.09× on the celeba256/lsun256 recipes,
     # perf/r4_*_region_s2d.txt; "off" disables). Numerics match the plain
@@ -85,9 +91,25 @@ class NCSNpp(nn.Module):
     @classmethod
     def from_config(cls, config: Any) -> "NCSNpp":
         dtype = resolve_compute_dtype(getattr(config, "compute_dtype", "float32"))
+        # use_remat "auto" (the default when the extra key is absent):
+        # remat each resblock at image_size ≥ 256 — MEASURED faster there
+        # (celeba256 batch 8: 159.4 ms/step with remat vs 197.7 without —
+        # the saved 256² activations cost more HBM traffic than the
+        # recompute, perf/r4_celeba256_noremat_b8.txt) and lighter on
+        # memory; below 256² the flagship measurements favor no remat.
+        raw_remat = getattr(config, "use_remat", "auto")
+        if isinstance(raw_remat, str):
+            s = raw_remat.lower()
+            if s == "auto":
+                use_remat = int(getattr(config, "image_size", 0)) >= 256
+            else:
+                use_remat = s in ("yes", "true", "1")
+        else:
+            use_remat = bool(raw_remat)
         return cls(
             dtype=dtype,
-            use_remat=bool(getattr(config, "use_remat", False)),
+            use_remat=use_remat,
+            remat_policy=str(getattr(config, "remat_policy", "full")).lower(),
             s2d_conv=str(getattr(config, "s2d_conv", "auto")).lower(),
             nf=config.num_channels_dae,
             ch_mult=tuple(config.ch_mult),
@@ -229,8 +251,23 @@ class NCSNpp(nn.Module):
             # dropout determinism and must stay static under remat),
             # 5=packed_splits (tuple of ints selecting the width-s2d
             # packed body — shape-determining, must be static)
+            pol_name = os.environ.get(
+                "DDGAN_TPU_REMAT_POLICY", self.remat_policy
+            ).lower()
+            if pol_name in ("save-convs", "save_convs", "convs"):
+                policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+            elif pol_name in ("full", ""):
+                policy = None
+            else:
+                raise ValueError(
+                    f"remat_policy={pol_name!r} not recognized "
+                    "(expected 'full' or 'save-convs')"
+                )
             ResnetBlock = functools.partial(
-                nn.remat(ResnetBlock.func, prevent_cse=False, static_argnums=(4, 5)),
+                nn.remat(
+                    ResnetBlock.func, prevent_cse=False, static_argnums=(4, 5),
+                    policy=policy,
+                ),
                 **ResnetBlock.keywords,
             )
 

@@ -28,8 +28,22 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Initializer = Callable[..., jnp.ndarray]
+
+
+def name_conv_out(y: jnp.ndarray) -> jnp.ndarray:
+    """Tag a conv output for the selective remat policy.
+
+    Under `remat_policy="save-convs"` (models/ncsnpp.py) the per-resblock
+    `jax.checkpoint` saves exactly these tensors instead of recomputing
+    the block's convs in the backward pass — the MXU-bound 3×3/1×1 convs
+    are the expensive part of a rematerialized forward, while the
+    elementwise chain (adaGN/SiLU/dropout) recomputes nearly for free.
+    Identity (and fused away) outside a policy-bearing checkpoint.
+    """
+    return checkpoint_name(y, "conv_out")
 
 
 def default_init(scale: float = 1.0) -> Initializer:
@@ -238,11 +252,11 @@ class Conv3x3(nn.Module):
         if self.packed_io:
             # caller guarantees eligibility; params identical to the
             # default path ([3,3,C,F] kernel under "conv")
-            return _S2DConv(
+            return name_conv_out(_S2DConv(
                 self.features, self.init_scale, self.dtype,
                 use_bias=self.use_bias, packed_io=True,
                 packed_splits=self.packed_splits, name="conv",
-            )(x)
+            )(x))
         if (
             # Per-conv boxing (pack→conv→unpack around ONE conv) is a
             # measured NET LOSS on the 256² recipes (celeba256 200.4 ms vs
@@ -258,10 +272,10 @@ class Conv3x3(nn.Module):
         ):
             # identical param tree (conv/kernel + conv/bias, same
             # shapes+inits) → checkpoints are flag-agnostic
-            return _S2DConv(
+            return name_conv_out(_S2DConv(
                 self.features, self.init_scale, self.dtype,
                 use_bias=self.use_bias, name="conv",
-            )(x)
+            )(x))
         if (
             os.environ.get("DDGAN_TPU_PALLAS_CONV") == "1"
             and self.stride == 1
@@ -277,10 +291,10 @@ class Conv3x3(nn.Module):
             ):
                 # identical param tree (conv/kernel + conv/bias, same
                 # shapes+inits) → checkpoints are flag-agnostic
-                return _PairConv(
+                return name_conv_out(_PairConv(
                     self.features, self.init_scale, self.dtype, name="conv"
-                )(x)
-        return nn.Conv(
+                )(x))
+        return name_conv_out(nn.Conv(
             self.features,
             kernel_size=(3, 3),
             strides=(self.stride, self.stride),
@@ -291,7 +305,7 @@ class Conv3x3(nn.Module):
             kernel_init=default_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
             name="conv",
-        )(x)
+        )(x))
 
 
 class Conv1x1(nn.Module):
@@ -310,12 +324,12 @@ class Conv1x1(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.packed_io:
             assert self.stride == 1 and self.padding == 0
-            return _S2D1x1(
+            return name_conv_out(_S2D1x1(
                 self.features, self.init_scale, self.dtype,
                 use_bias=self.use_bias, packed_splits=self.packed_splits,
                 name="conv",
-            )(x)
-        return nn.Conv(
+            )(x))
+        return name_conv_out(nn.Conv(
             self.features,
             kernel_size=(1, 1),
             strides=(self.stride, self.stride),
@@ -325,7 +339,7 @@ class Conv1x1(nn.Module):
             kernel_init=default_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
             name="conv",
-        )(x)
+        )(x))
 
 
 class NIN(nn.Module):

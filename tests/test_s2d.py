@@ -279,6 +279,65 @@ def test_s2d_conv_config_key():
     assert NCSNpp.from_config(cfg).s2d_conv == "off"
 
 
+def test_remat_policy_config_keys():
+    """`remat_policy` rides the config like use_remat; `use_remat` absent
+    → "auto" = remat only at image_size ≥ 256 (measured: remat wins at
+    256², loses below — perf/r4_celeba256_noremat_b8.txt)."""
+    from ddgan_tpu.config import Config
+    from ddgan_tpu.models.ncsnpp import NCSNpp
+
+    assert NCSNpp.from_config(Config()).remat_policy == "full"
+    assert NCSNpp.from_config(Config()).use_remat is False  # image_size 32
+    cfg = Config(image_size=256)
+    assert NCSNpp.from_config(cfg).use_remat is True
+    setattr(cfg, "use_remat", "no")
+    assert NCSNpp.from_config(cfg).use_remat is False
+    setattr(cfg, "use_remat", True)
+    setattr(cfg, "remat_policy", "SAVE-CONVS")
+    m = NCSNpp.from_config(cfg)
+    assert m.use_remat is True and m.remat_policy == "save-convs"
+
+
+def test_remat_policy_save_convs_parity(monkeypatch):
+    """remat_policy="save-convs" (save conv outputs, recompute the
+    elementwise chain) must reproduce full-remat outputs and parameter
+    grads exactly — the policy changes the AD schedule, not the math.
+    Runs with dropout>0 so the recomputed mask determinism is covered."""
+    from ddgan_tpu.models.ncsnpp import NCSNpp
+
+    kw = dict(
+        nf=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(4,),
+        image_size=16, dropout=0.3, resblock_type="biggan",
+        progressive="none", progressive_input="residual",
+        embedding_type="positional", nz=16, z_emb_dim=16, n_mlp=1,
+        use_remat=True,
+    )
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+    t = jnp.asarray([0, 1], jnp.int32)
+    z = jnp.asarray(rng.randn(2, 16), jnp.float32)
+    dk = jax.random.PRNGKey(7)
+
+    def run(policy):
+        m = NCSNpp(**kw, remat_policy=policy)
+        params = m.init(jax.random.PRNGKey(0), x, t, z)
+
+        def loss(p):
+            out = m.apply(p, x, t, z, train=True, rngs={"dropout": dk})
+            return jnp.sum(out**2)
+
+        return params, jax.value_and_grad(loss)(params)
+
+    p_full, (l_full, g_full) = run("full")
+    p_sc, (l_sc, g_sc) = run("save-convs")
+    assert jax.tree.structure(p_full) == jax.tree.structure(p_sc)
+    np.testing.assert_allclose(float(l_sc), float(l_full), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_sc), jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_ncsnpp_s2d_region_parity(monkeypatch):
     """DDGAN_TPU_S2D_CONV=1 drives the whole-region closure in
     NCSNpp.__call__: identical param tree, forward numerics and parameter
