@@ -87,12 +87,36 @@ class DownConvBlock(nn.Module):
         return (out + skip) / np.sqrt(2.0)
 
 
-def minibatch_stddev(out: jnp.ndarray, stddev_group: int = 4, stddev_feat: int = 1) -> jnp.ndarray:
+def minibatch_stddev(
+    out: jnp.ndarray,
+    stddev_group: int = 4,
+    stddev_feat: int = 1,
+    segments: int = 1,
+) -> jnp.ndarray:
     """Append the StyleGAN2 minibatch-stddev feature map. (discriminator.py:150-158)
 
     Grouping is strided over the batch (torch .view(group, -1, ...)
     semantics): group member m aggregates samples {m, m + B/g, ...}.
+
+    segments > 1: the batch is a concatenation of `segments` independent
+    sub-batches (the fused train step runs D(real) and D(fake) as ONE
+    batched trunk call — one set of big MXU convs instead of two); the
+    stddev statistic is computed per sub-batch so the math is identical
+    to `segments` separate calls (the reference's two separate D calls,
+    ddgan.py:445-476).
     """
+    if segments > 1:
+        b = out.shape[0] // segments
+        assert out.shape[0] == b * segments, (out.shape, segments)
+        return jnp.concatenate(
+            [
+                minibatch_stddev(
+                    out[i * b : (i + 1) * b], stddev_group, stddev_feat
+                )
+                for i in range(segments)
+            ],
+            axis=0,
+        )
     batch, height, width, channel = out.shape
     group = min(batch, stddev_group)
     s = out.astype(jnp.float32).reshape(
@@ -117,7 +141,8 @@ class DiscriminatorSmall(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, t: jnp.ndarray, x_t: jnp.ndarray
+        self, x: jnp.ndarray, t: jnp.ndarray, x_t: jnp.ndarray,
+        segments: int = 1,
     ) -> jnp.ndarray:
         act = leaky_relu_02
         t_embed = act(
@@ -145,7 +170,7 @@ class DiscriminatorSmall(nn.Module):
             h3, t_embed
         )
 
-        out = minibatch_stddev(out)
+        out = minibatch_stddev(out, segments=segments)
         out = ConvLayer(
             self.ngf * 8, 3, padding=1, init_scale=0.0, dtype=self.dtype, name="final_conv"
         )(out)
@@ -167,7 +192,8 @@ class DiscriminatorLarge(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, t: jnp.ndarray, x_t: jnp.ndarray
+        self, x: jnp.ndarray, t: jnp.ndarray, x_t: jnp.ndarray,
+        segments: int = 1,
     ) -> jnp.ndarray:
         act = leaky_relu_02
         t_embed = act(
@@ -191,7 +217,7 @@ class DiscriminatorLarge(nn.Module):
         h = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv5")(h, t_embed)
         out = DownConvBlock(self.ngf * 8, downsample=True, act=act, dtype=self.dtype, name="conv6")(h, t_embed)
 
-        out = minibatch_stddev(out)
+        out = minibatch_stddev(out, segments=segments)
         out = ConvLayer(self.ngf * 8, 3, padding=1, dtype=self.dtype, name="final_conv")(out)
         out = act(out)
         out = out.astype(jnp.float32).sum(axis=(1, 2))

@@ -113,6 +113,7 @@ def make_train_step(
     axis_name: str = "data",
     update_g: bool = True,
     donate: bool = True,
+    pair_d: bool | None = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -124,11 +125,32 @@ def make_train_step(
     implemented here; SURVEY.md §7 quirks).
     """
 
+    if pair_d is None:
+        import os
+
+        pair_d = os.environ.get("DDGAN_TPU_PAIR_D", "0") == "1"
+
     def apply_D(params_D, x, t, x_t):
         # head returns float32 already; keep losses in full precision
         return disc.apply({"params": params_D}, x, t, x_t).reshape(-1).astype(
             jnp.float32
         )
+
+    def apply_D_pair(params_D, x_a, x_b, t, x_t):
+        """One batched D trunk call over concat(real, fake) — the big MXU
+        convs run once at 2× batch instead of twice (the reference's two
+        sequential D calls, ddgan.py:445-476). segments=2 keeps the
+        minibatch-stddev statistic per sub-batch, so the math is identical
+        to two separate calls (tested exactly in test_train_step.py)."""
+        b = x_a.shape[0]
+        out = disc.apply(
+            {"params": params_D},
+            jnp.concatenate([x_a, x_b], axis=0),
+            jnp.concatenate([t, t], axis=0),
+            jnp.concatenate([x_t, x_t], axis=0),
+            segments=2,
+        ).reshape(-1).astype(jnp.float32)
+        return out[:b], out[b:]
 
     def apply_G(params_G, buffers_G, x, t, z, dropout_key):
         variables = {"params": params_G}
@@ -169,9 +191,12 @@ def make_train_step(
             apply_r1 = (state.step % lazy_reg) == 0
 
         def d_loss_fn(params_D):
-            d_real = apply_D(params_D, x_t, t, x_tp1)
+            if pair_d:
+                d_real, d_fake = apply_D_pair(params_D, x_t, x_pos, t, x_tp1)
+            else:
+                d_real = apply_D(params_D, x_t, t, x_tp1)
+                d_fake = apply_D(params_D, x_pos, t, x_tp1)
             errD_real = softplus(-d_real).mean()
-            d_fake = apply_D(params_D, x_pos, t, x_tp1)
             errD_fake = softplus(d_fake).mean()
 
             def r1_penalty(_):

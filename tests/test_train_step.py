@@ -115,6 +115,61 @@ def test_state_stays_replicated(setup):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_pair_d_parity(setup):
+    """pair_d=True runs D(real)‖D(fake) as ONE batched trunk call with
+    per-segment minibatch-stddev. Forward values are bit-level identical
+    (convs are per-sample); the D weight GRADIENT differs only by float
+    reassociation (one batch-2B reduction vs two batch-B reductions).
+    Assert parity with a plain-SGD transform so reassociation noise is
+    not amplified through Adam's first-step sign behavior."""
+    import optax
+
+    from ddgan_tpu.models.discriminator import minibatch_stddev
+
+    cfg, mesh, state, step, batch = setup
+    gen = NCSNpp.from_config(cfg)
+    disc = DiscriminatorSmall(
+        nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim
+    )
+    coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    sgd_state = state.replace(
+        opt_G=optax.identity().init(state.params_G),
+        opt_D=optax.identity().init(state.params_D),
+    )
+    steps = {}
+    for paired in (False, True):
+        steps[paired] = make_train_step(
+            gen, disc, coeff, pos,
+            num_timesteps=cfg.num_timesteps, nz=cfg.nz,
+            r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
+            ema_decay=cfg.ema_decay, use_ema=True,
+            tx_g=optax.identity(), tx_d=optax.identity(),
+            mesh=mesh, donate=False, pair_d=paired,
+        )
+    lr = jnp.asarray(1e-3, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    s_ref, m_ref = steps[False](sgd_state, batch, key, lr, lr)
+    s_got, m_got = steps[True](sgd_state, batch, key, lr, lr)
+    # D-side losses are computed from bitwise-identical forward values
+    for name, a, b in zip(m_got._fields, m_got, m_ref):
+        np.testing.assert_allclose(
+            float(a), float(b), rtol=1e-5, atol=1e-7, err_msg=name
+        )
+    for a, b in zip(jax.tree.leaves(s_got.params_D), jax.tree.leaves(s_ref.params_D)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s_got.params_G), jax.tree.leaves(s_ref.params_G)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+    # the stddev segments path alone: concat-of-halves == per-half calls
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(8, 4, 4, 8), jnp.float32)
+    b = jnp.asarray(rng.randn(8, 4, 4, 8), jnp.float32)
+    got = minibatch_stddev(jnp.concatenate([a, b], axis=0), segments=2)
+    want = jnp.concatenate([minibatch_stddev(a), minibatch_stddev(b)], axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_cosine_lr_matches_torch_schedule():
     """CosineAnnealingLR(eta_min=1e-5) stepped per epoch."""
     base, T = 3e-4, 10
