@@ -154,9 +154,14 @@ class DiscriminatorSmall(nn.Module):
                 name="t_embed",
             )(t)
         )
-        input_x = jnp.concatenate([x, x_t], axis=-1)
+        # cast BEFORE the concat: bf16 halves the bytes through the
+        # lane-hostile nc+nc channel concat (measured 62 GB/s at 256²,
+        # perf/r4_prof_celeba256_region_landed.txt); cast-then-concat is
+        # bit-identical to concat-then-cast
         if self.dtype is not None:
-            input_x = input_x.astype(self.dtype)
+            x = x.astype(self.dtype)
+            x_t = x_t.astype(self.dtype)
+        input_x = jnp.concatenate([x, x_t], axis=-1)
 
         h0 = ConvLayer(self.ngf * 2, 1, padding=0, dtype=self.dtype, name="start_conv")(input_x)
         h1 = DownConvBlock(self.ngf * 2, act=act, dtype=self.dtype, name="conv1")(h0, t_embed)
@@ -205,9 +210,14 @@ class DiscriminatorLarge(nn.Module):
                 name="t_embed",
             )(t)
         )
-        input_x = jnp.concatenate([x, x_t], axis=-1)
+        # cast BEFORE the concat: bf16 halves the bytes through the
+        # lane-hostile nc+nc channel concat (measured 62 GB/s at 256²,
+        # perf/r4_prof_celeba256_region_landed.txt); cast-then-concat is
+        # bit-identical to concat-then-cast
         if self.dtype is not None:
-            input_x = input_x.astype(self.dtype)
+            x = x.astype(self.dtype)
+            x_t = x_t.astype(self.dtype)
+        input_x = jnp.concatenate([x, x_t], axis=-1)
 
         h = ConvLayer(self.ngf * 2, 1, padding=0, dtype=self.dtype, name="start_conv")(input_x)
         h = DownConvBlock(self.ngf * 4, downsample=True, act=act, dtype=self.dtype, name="conv1")(h, t_embed)

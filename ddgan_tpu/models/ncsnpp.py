@@ -367,9 +367,10 @@ class NCSNpp(nn.Module):
         assert not hs_c
 
         if self.progressive != "output_skip":
+            # HeadGroupNorm is param-compatible with nn.GroupNorm and can
+            # consume a width-s2d packed top level (region closure below)
             modules.append(
-                nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                             dtype=self.dtype)
+                dnn.HeadGroupNorm(num_groups=min(in_ch // 4, 32), dtype=self.dtype)
             )
             modules.append(Conv3x3(channels, init_scale=init_scale, dtype=self.dtype))
 
@@ -459,9 +460,21 @@ class NCSNpp(nn.Module):
                 and sp_w not in self.attn_resolutions
             )
 
-        hs = [modules[m_idx](x)]
+        # stem conv emits directly into the packed layout when the first
+        # level is region-eligible: the [3,3,nc,nf] kernel widens to
+        # [3,3,2nc,2nf] (lane-full output) and the only pack reshape is on
+        # the tiny nc-channel input, not the nf-channel activation
+        # (block 0 must be eligible too, else the packed stem output would
+        # just unpack again at the first resblock)
+        stem_pk = _elig(x.shape[1], x.shape[2], self.nf) and _elig(
+            x.shape[1], x.shape[2], self.nf * self.ch_mult[0]
+        )
+        if stem_pk:
+            hs = [modules[m_idx](s2d_width(x), packed_io=True)]
+        else:
+            hs = [modules[m_idx](x)]
         m_idx += 1
-        pks = [False]  # parallel to hs: entry is in the packed layout
+        pks = [stem_pk]  # parallel to hs: entry is in the packed layout
         h_pk = False
         num_resolutions = len(self.ch_mult)
         for i_level in range(num_resolutions):
@@ -608,11 +621,22 @@ class NCSNpp(nn.Module):
 
         assert not hs
 
-        if h_pk:
-            h = un_s2d_width(h)  # final GroupNorm+conv_out in plain layout
-            h_pk = False
         if self.progressive == "output_skip":
+            if h_pk:
+                h = un_s2d_width(h)
+                h_pk = False
             h = pyramid
+        elif h_pk:
+            # head stays in the packed layout: HeadGroupNorm takes packed
+            # stats, conv_out runs with the widened kernel, and the only
+            # unpack is a free-ish reshape of the tiny [B,H,W/2,2*nc]
+            # output — the 256²-level activation never relayouts.
+            h = act(modules[m_idx](h, packed=True))
+            m_idx += 1
+            h = modules[m_idx](h, packed_io=True)
+            m_idx += 1
+            h = un_s2d_width(h)
+            h_pk = False
         else:
             h = act(modules[m_idx](h))
             m_idx += 1

@@ -19,6 +19,7 @@ from .layers import (  # noqa: F401
 from . import legacy  # noqa: F401
 from .blocks import (  # noqa: F401
     AdaptiveGroupNorm,
+    HeadGroupNorm,
     GaussianFourierProjection,
     Combine,
     AttnBlockpp,

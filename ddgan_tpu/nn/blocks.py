@@ -143,6 +143,59 @@ def _pack_channel_vec(v: jnp.ndarray, splits) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
+class HeadGroupNorm(nn.Module):
+    """Affine GroupNorm(eps=1e-6) whose input may be width-s2d packed.
+
+    Param-compatible with nn.GroupNorm ("scale"/"bias", shape [C], same
+    inits) so the head-norm checkpoint keys are unchanged. The packed path
+    computes group statistics from lane-aligned [B,2C] moment reductions
+    exactly like AdaptiveGroupNorm: the two dj halves of a packed row carry
+    equal pixel counts, so averaging them IS the full-row mean. Lets the
+    model head (final 'GroupNorm → act → conv3x3',
+    ncsnpp_generator_adagn.py:405-417) consume a packed 256² top level
+    without a tile-relayout unpack. Normalization math is the same folded
+    (x−μ_dt)·a+b form as AdaptiveGroupNorm (see the bf16-cancellation note
+    there); with packed=False and f32 it reduces to plain GroupNorm.
+    """
+
+    num_groups: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
+        c = x.shape[-1] // 2 if packed else x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        g = self.num_groups
+        cpg = c // g
+        b_ = x.shape[0]
+        xf = x.astype(jnp.float32)
+        s1 = jnp.mean(xf, axis=(1, 2))  # [B, C] ([B, 2C] packed)
+        s2 = jnp.mean(jnp.square(xf), axis=(1, 2))
+        if packed:
+            s1 = _unpack_channel_vec(s1, (c,))
+            s2 = _unpack_channel_vec(s2, (c,))
+        mean = s1.reshape(b_, g, cpg).mean(-1)
+        var = s2.reshape(b_, g, cpg).mean(-1) - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + 1e-6)  # [B, G]
+        a_f = scale.astype(jnp.float32)[None, :] * jnp.repeat(rstd, cpg, axis=1)
+        dt = self.dtype if self.dtype is not None else jnp.result_type(
+            x.dtype, jnp.float32
+        )
+        mu_c = jnp.repeat(mean, cpg, axis=1)  # [B, C] f32
+        mu_dt = mu_c.astype(dt)
+        b_f = bias.astype(jnp.float32)[None, :] + (
+            mu_dt.astype(jnp.float32) - mu_c
+        ) * a_f
+        if packed:
+            mu_dt = _pack_channel_vec(mu_dt, (c,))
+            a_f = _pack_channel_vec(a_f, (c,))
+            b_f = _pack_channel_vec(b_f, (c,))
+        return (
+            x.astype(dt) - mu_dt[:, None, None, :]
+        ) * a_f[:, None, None, :].astype(dt) + b_f[:, None, None, :].astype(dt)
+
+
 class GaussianFourierProjection(nn.Module):
     """Gaussian Fourier embeddings for noise levels. (layerspp.py:65-74)
 

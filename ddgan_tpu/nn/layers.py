@@ -248,8 +248,14 @@ class Conv3x3(nn.Module):
     packed_splits: tuple | None = None  # input channel blocks when packed_io
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.packed_io:
+    def __call__(
+        self, x: jnp.ndarray, packed_io: bool | None = None
+    ) -> jnp.ndarray:
+        # packedness may be decided per CALL (the head/stem convs of the
+        # flat all_modules list are constructed once but run packed only
+        # when the region closure reaches them); None defers to the
+        # constructed attribute. Both paths share the param tree.
+        if packed_io if packed_io is not None else self.packed_io:
             # caller guarantees eligibility; params identical to the
             # default path ([3,3,C,F] kernel under "conv")
             return name_conv_out(_S2DConv(

@@ -194,22 +194,41 @@ def make_train_step(
             if pair_d:
                 d_real, d_fake = apply_D_pair(params_D, x_t, x_pos, t, x_tp1)
             else:
-                d_real = apply_D(params_D, x_t, t, x_tp1)
                 d_fake = apply_D(params_D, x_pos, t, x_tp1)
-            errD_real = softplus(-d_real).mean()
+                d_real = None
             errD_fake = softplus(d_fake).mean()
 
-            def r1_penalty(_):
-                grad_real = jax.grad(
-                    lambda xi: apply_D(params_D, xi, t, x_tp1).sum()
-                )(x_t)
+            # ONE D(x_t) forward serves both the real loss and the R1
+            # penalty: the branch that applies R1 takes the input-gradient
+            # through jax.vjp of the SAME application instead of a second
+            # jax.grad forward (the reference's separate autograd.grad call,
+            # ddgan.py:452-462, recomputes the forward; so did r3 here —
+            # one full extra D(x_t) every lazy_reg steps).
+            def with_r1(_):
+                dr, pullback = jax.vjp(
+                    lambda xi: apply_D(params_D, xi, t, x_tp1), x_t
+                )
+                (grad_real,) = pullback(jnp.ones_like(dr))
                 grad_real = grad_real.astype(jnp.float32)
                 gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
-                return r1_gamma / 2.0 * gp
+                return dr, r1_gamma / 2.0 * gp
 
-            penalty = jax.lax.cond(
-                apply_r1, r1_penalty, lambda _: jnp.zeros(()), operand=None
-            )
+            def without_r1(_):
+                return apply_D(params_D, x_t, t, x_tp1), jnp.zeros(())
+
+            if pair_d:
+                # d_real already computed in the paired trunk call
+                penalty = jax.lax.cond(
+                    apply_r1,
+                    lambda _: with_r1(None)[1],
+                    lambda _: jnp.zeros(()),
+                    operand=None,
+                )
+            else:
+                d_real, penalty = jax.lax.cond(
+                    apply_r1, with_r1, without_r1, operand=None
+                )
+            errD_real = softplus(-d_real).mean()
             loss = errD_real + errD_fake + penalty
             return loss, (errD_real, errD_fake, penalty)
 
