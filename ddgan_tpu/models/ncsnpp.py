@@ -465,9 +465,15 @@ class NCSNpp(nn.Module):
         # [3,3,2nc,2nf] (lane-full output) and the only pack reshape is on
         # the tiny nc-channel input, not the nf-channel activation
         # (block 0 must be eligible too, else the packed stem output would
-        # just unpack again at the first resblock)
-        stem_pk = _elig(x.shape[1], x.shape[2], self.nf) and _elig(
-            x.shape[1], x.shape[2], self.nf * self.ch_mult[0]
+        # just unpack again at the first resblock).
+        # DDGAN_TPU_S2D_EDGE gates the stem/head ("edge") closures
+        # independently of the resblock region: "0" disables both,
+        # "stem"/"head" enables only that one (bisect knob).
+        edge = os.environ.get("DDGAN_TPU_S2D_EDGE", "1")
+        stem_pk = (
+            edge in ("1", "stem")
+            and _elig(x.shape[1], x.shape[2], self.nf)
+            and _elig(x.shape[1], x.shape[2], self.nf * self.ch_mult[0])
         )
         if stem_pk:
             hs = [modules[m_idx](s2d_width(x), packed_io=True)]
@@ -626,7 +632,7 @@ class NCSNpp(nn.Module):
                 h = un_s2d_width(h)
                 h_pk = False
             h = pyramid
-        elif h_pk:
+        elif h_pk and edge in ("1", "head"):
             # head stays in the packed layout: HeadGroupNorm takes packed
             # stats, conv_out runs with the widened kernel, and the only
             # unpack is a free-ish reshape of the tiny [B,H,W/2,2*nc]
@@ -638,6 +644,9 @@ class NCSNpp(nn.Module):
             h = un_s2d_width(h)
             h_pk = False
         else:
+            if h_pk:
+                h = un_s2d_width(h)
+                h_pk = False
             h = act(modules[m_idx](h))
             m_idx += 1
             h = modules[m_idx](h)

@@ -35,6 +35,7 @@ TPU design vs the reference's DDP:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -126,8 +127,6 @@ def make_train_step(
     """
 
     if pair_d is None:
-        import os
-
         pair_d = os.environ.get("DDGAN_TPU_PAIR_D", "0") == "1"
 
     def apply_D(params_D, x, t, x_t):
@@ -199,34 +198,44 @@ def make_train_step(
             errD_fake = softplus(d_fake).mean()
 
             # ONE D(x_t) forward serves both the real loss and the R1
-            # penalty: the branch that applies R1 takes the input-gradient
-            # through jax.vjp of the SAME application instead of a second
-            # jax.grad forward (the reference's separate autograd.grad call,
-            # ddgan.py:452-462, recomputes the forward; so did r3 here —
-            # one full extra D(x_t) every lazy_reg steps).
-            def with_r1(_):
-                dr, pullback = jax.vjp(
-                    lambda xi: apply_D(params_D, xi, t, x_tp1), x_t
-                )
-                (grad_real,) = pullback(jnp.ones_like(dr))
+            # penalty: jax.vjp of the SAME application runs unconditionally
+            # (its primal IS d_real) and only the input-gradient PULLBACK
+            # sits inside the lazy-reg cond — the reference's separate
+            # autograd.grad call (ddgan.py:452-462) recomputed the forward,
+            # and so did r3 here: one full extra D(x_t) every lazy_reg
+            # steps. The cond branch is backward-only; no forward lives
+            # inside a conditional. DDGAN_TPU_R1_SHARED=0 restores the r3
+            # formulation (bisect/rollback knob, read at trace time).
+            def r1_penalty_recompute(_):
+                grad_real = jax.grad(
+                    lambda xi: apply_D(params_D, xi, t, x_tp1).sum()
+                )(x_t)
                 grad_real = grad_real.astype(jnp.float32)
                 gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
-                return dr, r1_gamma / 2.0 * gp
+                return r1_gamma / 2.0 * gp
 
-            def without_r1(_):
-                return apply_D(params_D, x_t, t, x_tp1), jnp.zeros(())
-
-            if pair_d:
-                # d_real already computed in the paired trunk call
+            r1_shared = os.environ.get("DDGAN_TPU_R1_SHARED", "1") != "0"
+            if pair_d or not r1_shared:
+                if d_real is None:
+                    d_real = apply_D(params_D, x_t, t, x_tp1)
                 penalty = jax.lax.cond(
-                    apply_r1,
-                    lambda _: with_r1(None)[1],
-                    lambda _: jnp.zeros(()),
-                    operand=None,
+                    apply_r1, r1_penalty_recompute,
+                    lambda _: jnp.zeros(()), operand=None,
                 )
             else:
-                d_real, penalty = jax.lax.cond(
-                    apply_r1, with_r1, without_r1, operand=None
+                d_real, pullback = jax.vjp(
+                    lambda xi: apply_D(params_D, xi, t, x_tp1), x_t
+                )
+
+                def r1_from_pullback(_):
+                    (grad_real,) = pullback(jnp.ones_like(d_real))
+                    grad_real = grad_real.astype(jnp.float32)
+                    gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
+                    return r1_gamma / 2.0 * gp
+
+                penalty = jax.lax.cond(
+                    apply_r1, r1_from_pullback,
+                    lambda _: jnp.zeros(()), operand=None,
                 )
             errD_real = softplus(-d_real).mean()
             loss = errD_real + errD_fake + penalty

@@ -432,3 +432,45 @@ def test_pso_inner_optim_train_e2e(monkeypatch, tmp_path):
     assert float(state.pso_G.gbest_score) < float("inf")
     assert float(state.pso_D.gbest_score) < float("inf")
     assert (exp_path / "content.ckpt").exists()
+
+
+def test_r1_shared_forward_parity(setup, monkeypatch):
+    """DDGAN_TPU_R1_SHARED=1 (one D(x_t) forward via jax.vjp, pullback
+    inside the lazy-reg cond) must produce the same metrics and updated
+    params as the =0 recompute formulation (separate jax.grad forward),
+    on both an R1 step and a non-R1 step."""
+    cfg, mesh, state, _, batch = setup
+    gen = NCSNpp.from_config(cfg)
+    disc = DiscriminatorSmall(
+        nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim
+    )
+    coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+    tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, 0.0, cfg.grad_clip_norm)
+    tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, 0.0, cfg.grad_clip_norm)
+
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("DDGAN_TPU_R1_SHARED", flag)
+        step = make_train_step(
+            gen, disc, coeff, pos,
+            num_timesteps=cfg.num_timesteps, nz=cfg.nz,
+            r1_gamma=cfg.r1_gamma, lazy_reg=cfg.lazy_reg,
+            ema_decay=cfg.ema_decay, use_ema=True,
+            tx_g=tx_g, tx_d=tx_d, mesh=mesh, donate=False,
+        )
+        lr = jnp.asarray(1e-3, jnp.float32)
+        s1, m1 = step(state, batch, jax.random.PRNGKey(3), lr, lr)  # R1 fires
+        s2, m2 = step(s1, batch, jax.random.PRNGKey(4), lr, lr)  # no R1
+        results[flag] = (s2, (m1, m2))
+
+    (sa, (ma1, ma2)), (sb, (mb1, mb2)) = results["1"], results["0"]
+    assert float(ma1.grad_penalty) > 0.0 and float(ma2.grad_penalty) == 0.0
+    for a, b in ((ma1, mb1), (ma2, mb2)):
+        np.testing.assert_allclose(float(a.errD), float(b.errD), rtol=1e-6)
+        np.testing.assert_allclose(float(a.errG), float(b.errG), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(a.grad_penalty), float(b.grad_penalty), rtol=1e-6
+        )
+    for x, y in zip(jax.tree.leaves(sa.params_D), jax.tree.leaves(sb.params_D)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-6, atol=2e-7)
