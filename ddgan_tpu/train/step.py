@@ -204,7 +204,13 @@ def make_train_step(
             # autograd.grad call (ddgan.py:452-462) recomputed the forward,
             # and so did r3 here: one full extra D(x_t) every lazy_reg
             # steps. The cond branch is backward-only; no forward lives
-            # inside a conditional. DDGAN_TPU_R1_SHARED=0 restores the r3
+            # inside a conditional.
+            #
+            # Measured: −2.6 ms at 256² (the D forward is expensive there),
+            # but a 20% LOSS at 32² (1254.7 vs 1558 samples/s/chip) — the
+            # always-materialized vjp residuals cost more than the 1/15
+            # recomputed forward when D is cheap. Default: shared only for
+            # images ≥ 256². DDGAN_TPU_R1_SHARED=0/1 forces either
             # formulation (bisect/rollback knob, read at trace time).
             def r1_penalty_recompute(_):
                 grad_real = jax.grad(
@@ -214,7 +220,11 @@ def make_train_step(
                 gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
                 return r1_gamma / 2.0 * gp
 
-            r1_shared = os.environ.get("DDGAN_TPU_R1_SHARED", "1") != "0"
+            r1_shared_env = os.environ.get("DDGAN_TPU_R1_SHARED")
+            if r1_shared_env is not None:
+                r1_shared = r1_shared_env != "0"
+            else:
+                r1_shared = x_t.shape[1] >= 256  # NHWC height, trace-time
             if pair_d or not r1_shared:
                 if d_real is None:
                     d_real = apply_D(params_D, x_t, t, x_tp1)
