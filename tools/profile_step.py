@@ -195,13 +195,14 @@ def analyze(logdir: str, steps: int, top: int = 20, dump: str | None = None) -> 
         ("source ops by bytes", lambda kv: -kv[1][2]),
     ):
         print(f"\ntop {top} {title}:")
-        print(f"{'ms/step':>8}{'%':>6}{'GB/st':>8}{'GB/s':>7}  op")
+        print(f"{'ms/step':>8}{'%':>6}{'GB/st':>8}{'GB/s':>7}{'TFLOP/s':>9}  op")
         for name, (us, fl, by) in sorted(prov.items(), key=keyfn)[:top]:
             sec = us / steps * 1e-6
             print(
                 f"{us / 1e3 / steps:8.2f}{100 * us / total_us:6.1f}"
                 f"{by / 1e9 / steps:8.3f}"
-                f"{(by / steps) / sec / 1e9 if sec else 0:7.0f}  {name[:120]}"
+                f"{(by / steps) / sec / 1e9 if sec else 0:7.0f}"
+                f"{(fl / steps) / sec / 1e12 if sec else 0:9.1f}  {name[:115]}"
             )
 
 
