@@ -149,12 +149,28 @@ def train(args, dataset=None, mesh=None):
         )
         tx_g = tx_d = None
     else:
-        tx_d = make_optimizer(
-            args.beta1_d, args.beta2_d, args.weight_decay_D, args.grad_clip_norm
-        )
-        tx_g = make_optimizer(
-            args.beta1_g, args.beta2_g, args.weight_decay_G, args.grad_clip_norm
-        )
+        if os.environ.get("DDGAN_TPU_ZERO1", "0") == "1":
+            # ZeRO-1: shard the Adam moments over the data mesh (2·P/n
+            # instead of 2·P optimizer bytes per chip; train/zero1.py).
+            # Same trajectory as the replicated optimizer (tests/test_zero1.py).
+            from .zero1 import make_zero1_optimizer
+
+            n_shards = int(np.prod(list(mesh.shape.values())))
+            tx_d = make_zero1_optimizer(
+                args.beta1_d, args.beta2_d, args.weight_decay_D,
+                args.grad_clip_norm, n_shards,
+            )
+            tx_g = make_zero1_optimizer(
+                args.beta1_g, args.beta2_g, args.weight_decay_G,
+                args.grad_clip_norm, n_shards,
+            )
+        else:
+            tx_d = make_optimizer(
+                args.beta1_d, args.beta2_d, args.weight_decay_D, args.grad_clip_norm
+            )
+            tx_g = make_optimizer(
+                args.beta1_g, args.beta2_g, args.weight_decay_G, args.grad_clip_norm
+            )
 
     key, init_key = jax.random.split(key)
     image_shape = (args.image_size, args.image_size, args.num_channels)
@@ -204,7 +220,12 @@ def train(args, dataset=None, mesh=None):
         init_epoch = int(state.epoch)
         print(f"=> Loaded checkpoint (epoch {init_epoch})")
 
-    state = replicate(mesh, state)
+    from .zero1 import Zero1Optimizer, place_zero1_state
+
+    if isinstance(tx_g, Zero1Optimizer) or isinstance(tx_d, Zero1Optimizer):
+        state = place_zero1_state(mesh, state)
+    else:
+        state = replicate(mesh, state)
 
     limited = _limited_iter(args)
     losses_file = exp_path / "losses.json"

@@ -53,6 +53,7 @@ from ..diffusion import (
 from .ema import ema_update
 from .optim import apply_lr
 from .state import TrainState
+from .zero1 import Zero1Optimizer, Zero1OptState, zero1_update_sharded
 
 softplus = jax.nn.softplus
 
@@ -128,6 +129,15 @@ def make_train_step(
 
     if pair_d is None:
         pair_d = os.environ.get("DDGAN_TPU_PAIR_D", "0") == "1"
+
+    # ZeRO-1: a Zero1Optimizer in place of the optax transformation shards
+    # the Adam moments over the data axis (see zero1.py) — requires a mesh
+    # (the sharding IS the point) and routes around the pmean+tx.update
+    # path below.
+    zero1_g = isinstance(tx_g, Zero1Optimizer)
+    zero1_d = isinstance(tx_d, Zero1Optimizer)
+    if (zero1_g or zero1_d) and mesh is None:
+        raise ValueError("Zero1Optimizer requires a mesh (sharded moments)")
 
     def apply_D(params_D, x, t, x_t):
         # head returns float32 already; keep losses in full precision
@@ -254,9 +264,14 @@ def make_train_step(
         (_, (errD_real, errD_fake, penalty)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.params_D)
-        if mesh is not None:
-            d_grads = jax.lax.pmean(d_grads, axis_name)
-        d_updates, opt_D = tx_d.update(d_grads, state.opt_D, state.params_D)
+        if zero1_d:
+            d_updates, opt_D = zero1_update_sharded(
+                tx_d, d_grads, state.opt_D, state.params_D, axis_name
+            )
+        else:
+            if mesh is not None:
+                d_grads = jax.lax.pmean(d_grads, axis_name)
+            d_updates, opt_D = tx_d.update(d_grads, state.opt_D, state.params_D)
         params_D = optax.apply_updates(state.params_D, apply_lr(d_updates, lr_d))
 
         # ---------------- G step (fresh t/pairs/z, updated D) ----------------
@@ -274,9 +289,14 @@ def make_train_step(
                 return softplus(-out).mean()
 
             errG, g_grads = jax.value_and_grad(g_loss_fn)(state.params_G)
-            if mesh is not None:
-                g_grads = jax.lax.pmean(g_grads, axis_name)
-            g_updates, opt_G = tx_g.update(g_grads, state.opt_G, state.params_G)
+            if zero1_g:
+                g_updates, opt_G = zero1_update_sharded(
+                    tx_g, g_grads, state.opt_G, state.params_G, axis_name
+                )
+            else:
+                if mesh is not None:
+                    g_grads = jax.lax.pmean(g_grads, axis_name)
+                g_updates, opt_G = tx_g.update(g_grads, state.opt_G, state.params_G)
             params_G = optax.apply_updates(
                 state.params_G, apply_lr(g_updates, lr_g)
             )
@@ -316,11 +336,25 @@ def make_train_step(
             donate_argnums=donate_argnums,
         )
 
+    if zero1_g or zero1_d:
+        # exact spec tree for the state: moments row-sharded over the data
+        # axis, everything else replicated (prefix P() can't express a
+        # mixed state, so spell the TrainState out)
+        z1spec = Zero1OptState(mu=P(axis_name), nu=P(axis_name), count=P())
+        state_spec = TrainState(
+            params_G=P(), params_D=P(), buffers_G=P(),
+            opt_G=z1spec if zero1_g else P(),
+            opt_D=z1spec if zero1_d else P(),
+            ema_G=P(), step=P(), epoch=P(),
+        )
+    else:
+        state_spec = P()
+
     sharded = shard_map(
         functools.partial(local_step, coeff, pos_coeff),
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P(), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(state_spec, P(axis_name), P(), P(), P()),
+        out_specs=(state_spec, P()),
         check_vma=False,
     )
     # donate the state: params/opt/EMA buffers are updated in place in HBM
