@@ -55,6 +55,15 @@ class Config:
     # compute dtype for the model conv/attention path; params, norms
     # statistics, losses and the optimizer always stay float32.
     compute_dtype: str = "float32"
+    # TPU perf/memory knobs (not in the reference schema — see MIGRATION.md
+    # for what each one was measured to do). The matching DDGAN_TPU_* env
+    # vars remain documented trace-time OVERRIDES for A/B bisecting; the
+    # config file is the durable user surface.
+    use_remat: Any = "auto"  # "auto" = remat resblocks at image_size ≥ 256; yes/no force
+    remat_policy: str = "full"  # "full" | "save-convs" (measured null; kept as a knob)
+    s2d_conv: str = "auto"  # width-s2d region closure: "auto" (on where eligible) | "off"
+    r1_shared: str = "auto"  # shared-R1 vjp forward: "auto" (on at ≥256²) | "yes" | "no"
+    optimizer_sharding: str = "replicated"  # "replicated" | "zero1" (ZeRO-1 sharded Adam moments)
     # generator (NCSN++)
     num_channels_dae: int = 128
     n_mlp: int = 4

@@ -103,6 +103,52 @@ def build_loader(args, dataset, host_batch: int) -> DataLoader:
         )
 
 
+def resolve_optimizer_sharding(args) -> str:
+    """'replicated' | 'zero1' from the config key, with the DDGAN_TPU_ZERO1
+    env var as a documented trace-time override (bisect knob)."""
+    env = os.environ.get("DDGAN_TPU_ZERO1")
+    if env is not None:
+        return "zero1" if env == "1" else "replicated"
+    mode = str(getattr(args, "optimizer_sharding", "replicated")).lower()
+    if mode not in ("replicated", "zero1"):
+        raise ValueError(
+            f"optimizer_sharding must be 'replicated' or 'zero1', got {mode!r}"
+        )
+    return mode
+
+
+def build_optimizers(args, mesh):
+    """The G/D gradient transformations for the adam path — replicated optax
+    by default; `optimizer_sharding: "zero1"` shards the Adam moments over
+    the data mesh axis (train/zero1.py; 2·P/n instead of 2·P optimizer
+    bytes per chip, same trajectory — tests/test_zero1.py)."""
+    if resolve_optimizer_sharding(args) == "zero1":
+        from ..parallel.mesh import DATA_AXIS
+        from .zero1 import make_zero1_optimizer
+
+        # zero1's psum_scatter/all_gather run over the 'data' axis only, so
+        # the shard count is that axis's size — NOT the whole mesh product
+        # (they agree on today's 1-D mesh, but a second axis would silently
+        # diverge; ADVICE r4).
+        n_shards = int(mesh.shape[DATA_AXIS])
+        tx_d = make_zero1_optimizer(
+            args.beta1_d, args.beta2_d, args.weight_decay_D,
+            args.grad_clip_norm, n_shards,
+        )
+        tx_g = make_zero1_optimizer(
+            args.beta1_g, args.beta2_g, args.weight_decay_G,
+            args.grad_clip_norm, n_shards,
+        )
+    else:
+        tx_d = make_optimizer(
+            args.beta1_d, args.beta2_d, args.weight_decay_D, args.grad_clip_norm
+        )
+        tx_g = make_optimizer(
+            args.beta1_g, args.beta2_g, args.weight_decay_G, args.grad_clip_norm
+        )
+    return tx_g, tx_d
+
+
 def train(args, dataset=None, mesh=None):
     """Run training. `args` is a Config or any attribute bag with the
     reference's schema. Returns the final TrainState."""
@@ -149,28 +195,7 @@ def train(args, dataset=None, mesh=None):
         )
         tx_g = tx_d = None
     else:
-        if os.environ.get("DDGAN_TPU_ZERO1", "0") == "1":
-            # ZeRO-1: shard the Adam moments over the data mesh (2·P/n
-            # instead of 2·P optimizer bytes per chip; train/zero1.py).
-            # Same trajectory as the replicated optimizer (tests/test_zero1.py).
-            from .zero1 import make_zero1_optimizer
-
-            n_shards = int(np.prod(list(mesh.shape.values())))
-            tx_d = make_zero1_optimizer(
-                args.beta1_d, args.beta2_d, args.weight_decay_D,
-                args.grad_clip_norm, n_shards,
-            )
-            tx_g = make_zero1_optimizer(
-                args.beta1_g, args.beta2_g, args.weight_decay_G,
-                args.grad_clip_norm, n_shards,
-            )
-        else:
-            tx_d = make_optimizer(
-                args.beta1_d, args.beta2_d, args.weight_decay_D, args.grad_clip_norm
-            )
-            tx_g = make_optimizer(
-                args.beta1_g, args.beta2_g, args.weight_decay_G, args.grad_clip_norm
-            )
+        tx_g, tx_d = build_optimizers(args, mesh)
 
     key, init_key = jax.random.split(key)
     image_shape = (args.image_size, args.image_size, args.num_channels)
@@ -197,12 +222,13 @@ def train(args, dataset=None, mesh=None):
             init_key, gen, disc, tx_g, tx_d, image_shape, args.nz,
             batch=min(args.batch_size, 2), use_ema=True,
         )
+        r1_shared = str(getattr(args, "r1_shared", "auto")).lower()
         step_fn = make_train_step(
             gen, disc, coeff, pos_coeff,
             num_timesteps=args.num_timesteps, nz=args.nz,
             r1_gamma=args.r1_gamma, lazy_reg=args.lazy_reg,
             ema_decay=args.ema_decay, use_ema=use_ema,
-            tx_g=tx_g, tx_d=tx_d, mesh=mesh,
+            tx_g=tx_g, tx_d=tx_d, mesh=mesh, r1_shared=r1_shared,
         )
         d_only_step = None
         if int(getattr(args, "d_updates_per_g_update", 1)) > 1:
@@ -212,6 +238,7 @@ def train(args, dataset=None, mesh=None):
                 r1_gamma=args.r1_gamma, lazy_reg=args.lazy_reg,
                 ema_decay=args.ema_decay, use_ema=use_ema,
                 tx_g=tx_g, tx_d=tx_d, mesh=mesh, update_g=False,
+                r1_shared=r1_shared,
             )
 
     init_epoch = 0

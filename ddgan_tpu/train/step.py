@@ -116,6 +116,7 @@ def make_train_step(
     update_g: bool = True,
     donate: bool = True,
     pair_d: bool | None = None,
+    r1_shared: str = "auto",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -129,6 +130,11 @@ def make_train_step(
 
     if pair_d is None:
         pair_d = os.environ.get("DDGAN_TPU_PAIR_D", "0") == "1"
+    r1_shared = str(r1_shared).lower()
+    if r1_shared not in ("auto", "yes", "no"):
+        raise ValueError(
+            f"r1_shared must be 'auto', 'yes' or 'no', got {r1_shared!r}"
+        )
 
     # ZeRO-1: a Zero1Optimizer in place of the optax transformation shards
     # the Adam moments over the data axis (see zero1.py) — requires a mesh
@@ -230,12 +236,16 @@ def make_train_step(
                 gp = (grad_real.reshape(b, -1) ** 2).sum(axis=1).mean()
                 return r1_gamma / 2.0 * gp
 
+            # resolution order: env override (bisect knob) > config key
+            # r1_shared ("yes"/"no") > "auto" = shared at ≥256² (trace-time)
             r1_shared_env = os.environ.get("DDGAN_TPU_R1_SHARED")
             if r1_shared_env is not None:
-                r1_shared = r1_shared_env != "0"
+                use_shared = r1_shared_env != "0"
+            elif r1_shared != "auto":
+                use_shared = r1_shared == "yes"
             else:
-                r1_shared = x_t.shape[1] >= 256  # NHWC height, trace-time
-            if pair_d or not r1_shared:
+                use_shared = x_t.shape[1] >= 256  # NHWC height, trace-time
+            if pair_d or not use_shared:
                 if d_real is None:
                     d_real = apply_D(params_D, x_t, t, x_tp1)
                 penalty = jax.lax.cond(

@@ -157,17 +157,35 @@ def zero1_update_sharded(
 def place_zero1_state(mesh, state, axis_name: str = "data"):
     """Device placement for a TrainState whose opt trees may be Zero1:
     moments sharded along the mesh axis, everything else replicated
-    (the zero1 analog of parallel.replicate)."""
+    (the zero1 analog of parallel.replicate).
+
+    Multi-host: `jax.device_put` of a host array to a sharded layout only
+    works when every mesh device is addressable, so on a multi-process
+    mesh the moments go through `make_array_from_process_local_data` with
+    each host contributing its slice of the (identical, host-replicated)
+    global moment rows — the same mechanism shard_batch uses (ADVICE r4).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis_name))
 
+    def _put_sharded(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, shd)
+        import numpy as np
+
+        n_local = x.shape[0] // jax.process_count()
+        lo = jax.process_index() * n_local
+        return jax.make_array_from_process_local_data(
+            shd, np.asarray(x[lo : lo + n_local])
+        )
+
     def place_opt(o):
         if isinstance(o, Zero1OptState):
             return Zero1OptState(
-                mu=jax.device_put(o.mu, shd),
-                nu=jax.device_put(o.nu, shd),
+                mu=_put_sharded(o.mu),
+                nu=_put_sharded(o.nu),
                 count=jax.device_put(o.count, rep),
             )
         return jax.tree.map(lambda x: jax.device_put(x, rep), o)

@@ -137,3 +137,45 @@ def test_force_platform_env_hook(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().split()[-2:] == ["cpu", "2"], out.stdout
+
+
+def test_perf_knobs_flow_from_config_file(tmp_path, monkeypatch):
+    """VERDICT r4 item 6: the perf knobs are declared schema keys — a
+    config FILE's settings reach the model/step/optimizer builders with NO
+    env vars involved (env vars remain documented overrides)."""
+    from ddgan_tpu.config import Config
+    from ddgan_tpu.models import NCSNpp
+    from ddgan_tpu.train.loop import resolve_optimizer_sharding
+    from ddgan_tpu.train.step import make_train_step
+
+    for var in ("DDGAN_TPU_S2D_CONV", "DDGAN_TPU_R1_SHARED", "DDGAN_TPU_ZERO1",
+                "DDGAN_TPU_REMAT_POLICY"):
+        monkeypatch.delenv(var, raising=False)
+
+    # every knob is part of the written schema now
+    p = tmp_path / "config.json"
+    Config().save(p)
+    on_disk = json.loads(p.read_text())
+    for key in ("s2d_conv", "use_remat", "remat_policy", "r1_shared",
+                "optimizer_sharding"):
+        assert key in on_disk, key
+
+    on_disk.update(
+        s2d_conv="off", use_remat="yes", remat_policy="save-convs",
+        r1_shared="yes", optimizer_sharding="zero1", image_size=32,
+    )
+    p.write_text(json.dumps(on_disk))
+    cfg = Config.load(p)
+
+    m = NCSNpp.from_config(cfg)
+    assert m.s2d_conv == "off"
+    assert m.use_remat is True  # "yes" forces remat below the 256² auto line
+    assert m.remat_policy == "save-convs"
+    assert resolve_optimizer_sharding(cfg) == "zero1"
+    # r1_shared reaches make_train_step as a validated tri-state
+    with pytest.raises(ValueError, match="r1_shared"):
+        make_train_step(
+            None, None, None, None, num_timesteps=1, nz=4, r1_gamma=0.0,
+            lazy_reg=None, ema_decay=0.9, use_ema=False, tx_g=None, tx_d=None,
+            r1_shared="bogus",
+        )

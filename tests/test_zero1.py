@@ -165,3 +165,163 @@ def test_zero1_requires_mesh():
             lazy_reg=None, ema_decay=0.999, use_ema=False,
             tx_g=z, tx_d=z, mesh=None,
         )
+
+
+# ---------------------------------------------------------------------------
+# optimizer_sharding as a first-class config key + cross-mode resume (r5)
+# ---------------------------------------------------------------------------
+
+def _models(cfg):
+    gen = NCSNpp.from_config(cfg)
+    disc = DiscriminatorSmall(
+        nc=2 * cfg.num_channels, ngf=cfg.ngf, t_emb_dim=cfg.t_emb_dim
+    )
+    return gen, disc
+
+
+def _fill_distinct(tree):
+    """Per-leaf distinct constants so flatten ORDER is verifiable."""
+    leaves, td = jax.tree.flatten(tree)
+    out = []
+    for i, l in enumerate(leaves):
+        out.append(jnp.full(l.shape, (i + 1) / 10.0, l.dtype))
+    return jax.tree.unflatten(td, out)
+
+
+def test_optimizer_sharding_config_key(monkeypatch):
+    """The durable surface: configs/config.json `optimizer_sharding` reaches
+    build_optimizers without env vars; DDGAN_TPU_ZERO1 stays an override."""
+    from ddgan_tpu.train.loop import build_optimizers, resolve_optimizer_sharding
+    from ddgan_tpu.train.zero1 import Zero1Optimizer
+    import optax
+
+    monkeypatch.delenv("DDGAN_TPU_ZERO1", raising=False)
+    mesh = make_mesh()
+    cfg = tiny_cfg()
+    assert resolve_optimizer_sharding(cfg) == "replicated"
+    tx_g, tx_d = build_optimizers(cfg, mesh)
+    assert isinstance(tx_g, optax.GradientTransformation)
+
+    cfg_z = tiny_cfg().replace(optimizer_sharding="zero1")
+    tx_g, tx_d = build_optimizers(cfg_z, mesh)
+    assert isinstance(tx_g, Zero1Optimizer)
+    assert tx_g.num_shards == mesh.shape["data"]  # data-axis size, not mesh product
+
+    with pytest.raises(ValueError, match="optimizer_sharding"):
+        build_optimizers(tiny_cfg().replace(optimizer_sharding="zero2"), mesh)
+
+    # env var overrides the config key in BOTH directions (bisect knob)
+    monkeypatch.setenv("DDGAN_TPU_ZERO1", "0")
+    assert resolve_optimizer_sharding(cfg_z) == "replicated"
+    monkeypatch.setenv("DDGAN_TPU_ZERO1", "1")
+    assert resolve_optimizer_sharding(cfg) == "zero1"
+
+
+def test_cross_mode_checkpoint_conversion(tmp_path):
+    """content.ckpt adapts across optimizer_sharding modes at load time:
+    replicated Adam moments flatten into the zero1 row layout and back,
+    preserving values and tree order (VERDICT r4 item 1 / ADVICE r4)."""
+    from ddgan_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_cfg()
+    gen, disc = _models(cfg)
+    shape = (cfg.image_size, cfg.image_size, cfg.num_channels)
+    n = len(jax.devices())
+
+    tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, 0.0, cfg.grad_clip_norm)
+    tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, 0.0, cfg.grad_clip_norm)
+    state_r = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, tx_g, tx_d, shape, cfg.nz, batch=2
+    )
+    state_r = state_r.replace(
+        opt_G=_fill_distinct(state_r.opt_G), opt_D=_fill_distinct(state_r.opt_D)
+    )
+    dir_r = tmp_path / "rep"
+    ckpt.save_content(dir_r, state_r, cfg)
+
+    # replicated ckpt → zero1 template
+    z_g = make_zero1_optimizer(cfg.beta1_g, cfg.beta2_g, 0.0, cfg.grad_clip_norm, n)
+    z_d = make_zero1_optimizer(cfg.beta1_d, cfg.beta2_d, 0.0, cfg.grad_clip_norm, n)
+    template_z = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, z_g, z_d, shape, cfg.nz, batch=2
+    )
+    loaded_z = ckpt.load_content(dir_r, template_z)
+    adam = [s for s in state_r.opt_G if hasattr(s, "mu")][0]
+    flat_mu = np.concatenate(
+        [np.ravel(np.asarray(l)) for l in jax.tree.leaves(adam.mu)]
+    ).astype(np.float32)
+    total = flat_mu.size
+    got = np.asarray(loaded_z.opt_G.mu).reshape(-1)
+    np.testing.assert_allclose(got[:total], flat_mu)
+    assert (got[total:] == 0).all()  # zero padding
+
+    # zero1 ckpt → replicated template (roundtrip recovers the tree)
+    dir_z = tmp_path / "z1"
+    ckpt.save_content(dir_z, loaded_z, cfg)
+    template_r = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, tx_g, tx_d, shape, cfg.nz, batch=2
+    )
+    loaded_r = ckpt.load_content(dir_z, template_r)
+    adam_back = [s for s in loaded_r.opt_G if hasattr(s, "mu")][0]
+    _tree_allclose(adam_back.mu, adam.mu, rtol=0, atol=0)
+    _tree_allclose(adam_back.nu, adam.nu, rtol=0, atol=0)
+
+    # zero1 ckpt → zero1 template under a DIFFERENT device count (ADVICE r4:
+    # the row layout bakes in num_shards; resharding must be transparent)
+    z_g4 = make_zero1_optimizer(cfg.beta1_g, cfg.beta2_g, 0.0, cfg.grad_clip_norm, 4)
+    z_d4 = make_zero1_optimizer(cfg.beta1_d, cfg.beta2_d, 0.0, cfg.grad_clip_norm, 4)
+    template_z4 = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, z_g4, z_d4, shape, cfg.nz, batch=2
+    )
+    loaded_z4 = ckpt.load_content(dir_z, template_z4)
+    assert loaded_z4.opt_G.mu.shape[0] == 4
+    got4 = np.asarray(loaded_z4.opt_G.mu).reshape(-1)
+    np.testing.assert_allclose(got4[:total], flat_mu)
+
+
+def test_cross_mode_unrecognizable_raises():
+    from ddgan_tpu.train.checkpoint import CheckpointShardingError, _adapt_one_opt
+    from ddgan_tpu.train.zero1 import Zero1OptState
+
+    params = {"w": jnp.zeros((3, 2))}
+    z_tpl = Zero1OptState(
+        mu=jnp.zeros((8, 1)), nu=jnp.zeros((8, 1)), count=jnp.zeros((), jnp.int32)
+    )
+    with pytest.raises(CheckpointShardingError, match="optimizer_sharding"):
+        _adapt_one_opt({"0": {}}, z_tpl, params, "opt_G")
+
+
+def test_cross_mode_resume_through_loop(monkeypatch, tmp_path):
+    """Loop-level: train replicated, resume the same experiment with
+    optimizer_sharding='zero1' from the config file (no env var) — the
+    checkpoint converts and training continues with sharded moments."""
+    from ddgan_tpu.train import Zero1OptState
+    from ddgan_tpu.train import loop as loop_mod
+
+    monkeypatch.delenv("DDGAN_TPU_ZERO1", raising=False)
+    monkeypatch.chdir(tmp_path)
+    common = dict(
+        dataset="synthetic", exp="xmode", image_size=8, num_channels=1,
+        num_channels_dae=8, ch_mult=[1], num_res_blocks=1,
+        attn_resolutions=[4], nz=4, z_emb_dim=8, n_mlp=1, t_emb_dim=8,
+        ngf=4, num_timesteps=2, batch_size=2, limited_iter=2,
+        dropout=0.0, lazy_reg=2, ema_decay=0.999, use_ema=True, seed=7,
+        save_content=True, save_content_every=1,
+    )
+    s1 = loop_mod.train(Config(num_epoch=1, **common))
+    assert not isinstance(s1.opt_G, Zero1OptState)
+
+    s2 = loop_mod.train(
+        Config(num_epoch=2, resume=True, optimizer_sharding="zero1", **common)
+    )
+    assert isinstance(s2.opt_G, Zero1OptState)
+    assert int(s2.epoch) > int(s1.epoch) and int(s2.step) > int(s1.step)
+    assert np.isfinite(np.asarray(jax.tree.leaves(s2.params_G)[0])).all()
+
+    # and back: zero1 ckpt resumed replicated
+    s3 = loop_mod.train(
+        Config(num_epoch=3, resume=True, optimizer_sharding="replicated", **common)
+    )
+    assert not isinstance(s3.opt_G, Zero1OptState)
+    assert int(s3.step) > int(s2.step)
+    assert np.isfinite(np.asarray(jax.tree.leaves(s3.params_G)[0])).all()
