@@ -39,6 +39,11 @@ def capture(
 
     if which == "sampler":
         return _capture_sampler(logdir, n_steps)
+    if which in ("sampler256", "sampler256-lsun"):
+        return _capture_sampler256(
+            logdir, n_steps, batch or 16,
+            "lsun256" if which.endswith("lsun") else "celeba256",
+        )
     if which == "flagship":
         from bench import build_flagship_step
 
@@ -90,6 +95,56 @@ def _capture_sampler(logdir: str, n_steps: int, batch: int = 256) -> None:
         x_init = jax.random.normal(
             kx, (batch, cfg.image_size, cfg.image_size, cfg.num_channels)
         )
+        return sample_from_model(pos, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz)
+
+    out = sample(key)
+    _ = float(out.reshape(-1)[0])
+    with jax.profiler.trace(logdir):
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            out = sample(k)
+        _ = float(out.reshape(-1)[0])
+    print(f"trace written under {logdir}")
+
+
+def _capture_sampler256(
+    logdir: str, n_steps: int, batch: int, recipe: str
+) -> None:
+    """Trace the 256² serving path (test_ddgan.py:180-208 analog): the
+    T-step reverse sampler at the celeba256/lsun256 recipe, region closure
+    per the model default. VERDICT r4 item 3 — the training step got four
+    per-op profile passes in round 4; this gives the sampler the same."""
+    import jax
+    import jax.numpy as jnp
+    from ddgan_tpu.config import Config
+    from ddgan_tpu.diffusion import PosteriorCoefficients, sample_from_model
+    from ddgan_tpu.models import NCSNpp
+
+    lsun = recipe == "lsun256"
+    cfg = Config(
+        dataset="lsun" if lsun else "celeba_256",
+        image_size=256, num_channels=3,
+        num_channels_dae=64, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+        attn_resolutions=[16], nz=100, z_emb_dim=256, n_mlp=3,
+        t_emb_dim=256, num_timesteps=4 if lsun else 2,
+        dropout=0.0, compute_dtype="bfloat16",
+    )
+    gen = NCSNpp.from_config(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = gen.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, 256, 256, 3), jnp.float32), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, cfg.nz), jnp.float32),
+    )
+    pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
+
+    def model_fn(xt, t, z):
+        return gen.apply(variables, xt, t, z, train=False)
+
+    @jax.jit
+    def sample(key):
+        kx, kz = jax.random.split(key)
+        x_init = jax.random.normal(kx, (batch, 256, 256, 3))
         return sample_from_model(pos, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz)
 
     out = sample(key)
@@ -211,7 +266,9 @@ def main():
     ap.add_argument("--logdir", default="/tmp/ddgan_prof")
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument(
-        "--which", choices=["flagship", "celeba256", "sampler"], default="flagship"
+        "--which",
+        choices=["flagship", "celeba256", "sampler", "sampler256", "sampler256-lsun"],
+        default="flagship",
     )
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--batch", type=int, default=0,
