@@ -164,13 +164,21 @@ def sample_and_test(args):
             dev, n_p, idx0 = batch
             encode_futs.append(pool.submit(encode_batch, np.asarray(dev)[:n_p], idx0))
 
+        # Keys pre-split OUTSIDE the dispatch loop: an eager per-batch
+        # jax.random.split serializes a tunnel round-trip into EVERY
+        # sampler call — measured 51-64 samples/s at 256² batch 16 vs
+        # 230 with keys pre-split (the device itself runs the call in
+        # 66.8 ms = 240/s; perf/r5_prof_sampler256.txt). The split and
+        # the per-key slices all dispatch up front, so sampler calls
+        # then stream back-to-back.
+        batch_keys = list(jax.random.split(key, iters_needed))
+
         try:
             pending = None  # (device_array, n_keep, index0) of the in-flight batch
             index = 0
             for i in range(iters_needed):
                 n = min(per_call, total - i * per_call)
-                key, ks = jax.random.split(key)
-                cur = to_range_0_1(sampler(ks))  # async dispatch
+                cur = to_range_0_1(sampler(batch_keys[i]))  # async dispatch
                 if pending is not None:
                     submit_encode(pending)
                 pending = (cur, n, index)

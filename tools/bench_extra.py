@@ -65,11 +65,14 @@ def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
             pos_coeff, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz
         )
 
-    out = sample(key)  # compile
+    # keys pre-split OUTSIDE the timed loop (an eager split between calls
+    # serializes a tunnel round-trip into every dispatch — the r2
+    # "per-dispatch relay overhead" was mostly this, see r5 sampler256)
+    keys = list(jax.random.split(key, n_iters + 1))
+    out = sample(keys[-1])  # compile
     _ = float(out.reshape(-1)[0])
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        key, k = jax.random.split(key)
+    for k in keys[:n_iters]:
         out = sample(k)
     _ = float(out.reshape(-1)[0])
     dt = time.perf_counter() - t0
@@ -78,10 +81,14 @@ def bench_sampler(batch: int = 256, n_iters: int = 20) -> dict:
         "metric": "cifar10_t4_sampler_samples_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "samples/sec/chip",
+        "ms_per_call": round(dt / n_iters * 1e3, 1),
     }
 
 
-def bench_sampler256(batch: int = 16, n_iters: int = 5, recipe: str = "celeba256") -> dict:
+def bench_sampler256(
+    batch: int = 16, n_iters: int = 5, recipe: str = "celeba256",
+    scan: int = 1,
+) -> dict:
     """256² generation throughput (serving-path analog of the reference's
     test_ddgan.py sampling loop at the readme.md:39-57 recipes): T-step
     reverse diffusion through the full 39.8M-param NCSNpp at 256², bf16,
@@ -126,18 +133,40 @@ def bench_sampler256(batch: int = 16, n_iters: int = 5, recipe: str = "celeba256
             pos_coeff, model_fn, cfg.num_timesteps, x_init, kz, cfg.nz
         )
 
-    out = sample(key)  # compile
+    if scan > 1:
+        # serving macro-call: ONE dispatch runs `scan` reverse-diffusion
+        # batches under lax.scan — r5 profiling showed the 256² serving
+        # path is DISPATCH-bound through the tunnel (device busy 66.8
+        # ms/call vs ~250-315 ms/call wall), so amortizing the per-call
+        # host/relay cost over K batches is the structural fix.
+        @jax.jit
+        def sample_many(key):
+            def body(_, k):
+                return None, sample(k)
+
+            _, outs = jax.lax.scan(body, None, jax.random.split(key, scan))
+            return outs
+
+        run, per_call = sample_many, batch * scan
+    else:
+        run, per_call = sample, batch
+
+    # keys pre-split OUTSIDE the timed loop: an eager split between calls
+    # is a separate tunnel dispatch gating the next sample() launch
+    keys = list(jax.random.split(key, n_iters + 1))
+    out = run(keys[-1])  # compile
     _ = float(out.reshape(-1)[0])
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        key, k = jax.random.split(key)
-        out = sample(k)
+    for k in keys[:n_iters]:
+        out = run(k)
     _ = float(out.reshape(-1)[0])
     dt = time.perf_counter() - t0
     return {
         "metric": f"{recipe}_t{cfg.num_timesteps}_sampler_samples_per_sec_per_chip",
-        "value": round(batch * n_iters / dt, 2),
+        "value": round(per_call * n_iters / dt, 2),
         "unit": "samples/sec/chip",
+        "batch_per_call": per_call,
+        "ms_per_call": round(dt / n_iters * 1e3, 1),
     }
 
 
@@ -258,6 +287,12 @@ def main():
                     help="per-chip batch (sampler default 256; sampler256 "
                          "default 16; celeba256 default 4, the recipe's "
                          "per-GPU batch; lsun256 default 8, its per-GPU batch)")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="sampler256: reverse-diffusion batches per DISPATCH "
+                         "(lax.scan macro-call; amortizes the tunnel's "
+                         "per-call host cost — see perf/r5_prof_sampler256.txt)")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="timed calls (sampler256 default 5)")
     args = ap.parse_args()
     if args.which == "sampler":
         out = bench_sampler(batch=args.batch or 256)
@@ -265,9 +300,10 @@ def main():
     elif args.which in ("sampler256", "sampler256-lsun"):
         out = bench_sampler256(
             batch=args.batch or 16,
+            n_iters=args.iters or 5,
             recipe="lsun256" if args.which.endswith("lsun") else "celeba256",
+            scan=args.scan,
         )
-        out["batch_per_call"] = args.batch or 16
     elif args.which == "lsun256":
         out = bench_celeba256(
             batch_size=args.batch or 8, recipe="lsun256"
