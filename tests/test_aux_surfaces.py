@@ -163,7 +163,7 @@ def test_quality_soak_snapshots_raw_and_ema(tmp_path):
     os.environ.get("DDGAN_TPU_MULTIHOST") != "1",
     reason="launches 2 jax.distributed processes (serialize with the "
     "one-core rule); set DDGAN_TPU_MULTIHOST=1 to run — or use "
-    "`python tools/multihost_dryrun.py` (evidence: MULTIHOST_r04.json)",
+    "`python tools/multihost_dryrun.py` (evidence: MULTIHOST_r05.json)",
 )
 def test_multihost_two_process_dryrun():
     """Real multi-process execution: rendezvous via init_processes, loader
@@ -173,7 +173,7 @@ def test_multihost_two_process_dryrun():
     import subprocess
     import sys as _sys
 
-    out = str(REPO / "MULTIHOST_r04.json")
+    out = str(REPO / "MULTIHOST_r05.json")
     subprocess.run(
         [_sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
          "--out", out],

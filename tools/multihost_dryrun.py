@@ -28,14 +28,20 @@ and per topology:
      failing loader under process_count>1 must raise (never silently
      retry unsharded and duplicate data across hosts), while a
      single-process run degrades to the unsharded loader like
-     ddgan.py:262-269.
+     ddgan.py:262-269;
+  7. (r5) the SAME steps with the ZeRO-1 sharded optimizer: moments
+     placed across processes via place_zero1_state's
+     make_array_from_process_local_data branch, psum_scatter/all_gather
+     riding the cross-process collectives — metrics/checksums must match
+     the single-process zero1 run AND stay within trajectory tolerance
+     of the replicated path (train/zero1.py docstring).
 
 Run (serialized with this host's one-core rule — nothing else running):
 
   python tools/multihost_dryrun.py            # orchestrates everything
   python tools/multihost_dryrun.py --rank 0 --size 2 --out f.json  # child
 
-Writes MULTIHOST_r04.json at the repo root.
+Writes MULTIHOST_r05.json at the repo root.
 """
 
 from __future__ import annotations
@@ -98,12 +104,16 @@ def _global_batch():
     return rng.uniform(-1, 1, (GLOBAL_BATCH, 8, 8, 1)).astype(np.float32)
 
 
-def _run_steps(local_slice=None, n_steps: int = 2):
+def _run_steps(local_slice=None, n_steps: int = 2, zero1: bool = False):
     """Build the fused step over the GLOBAL mesh, run n_steps, then one
     sharded-sampler call on the trained params.
 
     local_slice: this process's host-local piece of the global batch
     (multi-process), or None to device_put the full batch (single-process).
+    zero1: use the ZeRO-1 sharded optimizer (train/zero1.py) instead of
+    the replicated optax path — exercises place_zero1_state's
+    multi-process placement branch and the cross-process
+    psum_scatter/all_gather collectives.
     Returns (metrics_dict, checksum, sample_checksum) — checksum =
     Σ ||leaf|| over G params and EMA after the steps (a whole-trajectory
     fingerprint); sample_checksum fingerprints the generation path.
@@ -117,17 +127,31 @@ def _run_steps(local_slice=None, n_steps: int = 2):
         make_sharded_sampler,
     )
     from ddgan_tpu.parallel import make_mesh, replicate, shard_batch
-    from ddgan_tpu.train import create_train_state, make_optimizer, make_train_step
+    from ddgan_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        make_zero1_optimizer,
+        place_zero1_state,
+    )
     from ddgan_tpu.train.loop import build_models
 
     cfg = _tiny_cfg()
     gen, disc = build_models(cfg)
     coeff = DiffusionCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
     pos = PosteriorCoefficients.create(cfg.num_timesteps, cfg.beta_min, cfg.beta_max)
-    tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, cfg.weight_decay_D, cfg.grad_clip_norm)
-    tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, cfg.weight_decay_G, cfg.grad_clip_norm)
     mesh = make_mesh()  # GLOBAL devices (spans processes when size>1)
     n_dev = mesh.size
+    if zero1:
+        tx_d = make_zero1_optimizer(
+            cfg.beta1_d, cfg.beta2_d, cfg.weight_decay_D, cfg.grad_clip_norm, n_dev
+        )
+        tx_g = make_zero1_optimizer(
+            cfg.beta1_g, cfg.beta2_g, cfg.weight_decay_G, cfg.grad_clip_norm, n_dev
+        )
+    else:
+        tx_d = make_optimizer(cfg.beta1_d, cfg.beta2_d, cfg.weight_decay_D, cfg.grad_clip_norm)
+        tx_g = make_optimizer(cfg.beta1_g, cfg.beta2_g, cfg.weight_decay_G, cfg.grad_clip_norm)
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(
@@ -135,7 +159,7 @@ def _run_steps(local_slice=None, n_steps: int = 2):
         (cfg.image_size, cfg.image_size, cfg.num_channels), cfg.nz,
         batch=2, use_ema=True,
     )
-    state = replicate(mesh, state)
+    state = place_zero1_state(mesh, state) if zero1 else replicate(mesh, state)
     step = make_train_step(
         gen, disc, coeff, pos,
         num_timesteps=cfg.num_timesteps, nz=cfg.nz,
@@ -174,6 +198,11 @@ def _run_steps(local_slice=None, n_steps: int = 2):
         if buffers_G:
             variables["buffers"] = buffers_G
         return gen.apply(variables, x, t, z, train=False)
+
+    if zero1:
+        # the generation path is optimizer-independent; the replicated
+        # leg already fingerprints it — skip the extra compile here
+        return out, checksum, 0.0
 
     sampler = make_sharded_sampler(
         pos, generator, cfg.num_timesteps,
@@ -246,10 +275,17 @@ def child(rank: int, size: int, local_devices: int, out_path: str) -> None:
         full = _global_batch()
         local = full[rank_ * local_batch : (rank_ + 1) * local_batch]
         metrics, checksum, sample_checksum = _run_steps(local_slice=local)
+
+        # --- (r5) same steps under the ZeRO-1 sharded optimizer: moments
+        # placed via make_array_from_process_local_data, psum_scatter /
+        # all_gather riding the cross-process gloo collectives
+        z_metrics, z_checksum, _ = _run_steps(local_slice=local, zero1=True)
         if rank_ == 0:
             with open(out_path, "w") as f:
                 json.dump({"metrics": metrics, "checksum": checksum,
                            "sample_checksum": sample_checksum,
+                           "zero1_metrics": z_metrics,
+                           "zero1_checksum": z_checksum,
                            "process_count": size,
                            "local_devices": local_devices,
                            "loader_failure_raised": raised}, f)
@@ -274,9 +310,12 @@ def single(n_devices: int, out_path: str) -> None:
     assert loader.num_shards == 1, "fallback loader must be unsharded"
 
     metrics, checksum, sample_checksum = _run_steps(local_slice=None)
+    z_metrics, z_checksum, _ = _run_steps(local_slice=None, zero1=True)
     with open(out_path, "w") as f:
         json.dump({"metrics": metrics, "checksum": checksum,
                    "sample_checksum": sample_checksum,
+                   "zero1_metrics": z_metrics,
+                   "zero1_checksum": z_checksum,
                    "process_count": 1, "local_devices": n_devices,
                    "single_fallback_degraded": True}, f)
 
@@ -326,15 +365,25 @@ def _run_topology(local_devices: int) -> dict:
     diffs = {k: abs(s["metrics"][k] - m["metrics"][k]) for k in s["metrics"]}
     diffs["checksum"] = abs(s["checksum"] - m["checksum"])
     diffs["sample_checksum"] = abs(s["sample_checksum"] - m["sample_checksum"])
+    diffs["zero1_checksum"] = abs(s["zero1_checksum"] - m["zero1_checksum"])
+    diffs.update({
+        f"zero1_{k}": abs(s["zero1_metrics"][k] - m["zero1_metrics"][k])
+        for k in s["zero1_metrics"]
+    })
     # identical math on identical data: same global mesh shape, same
     # fold_in(axis_index) streams, deterministic CPU kernels → tight match
     ok = all(v < 1e-4 for v in diffs.values())
+    # zero1 vs replicated is float-associativity-equal, not bit-equal
+    # (train/zero1.py docstring): a loose trajectory bound, recorded
+    zero1_vs_replicated = abs(s["zero1_checksum"] - s["checksum"])
+    ok = ok and zero1_vs_replicated < 1e-2
     return {
         "topology": f"2 procs x {local_devices} devs vs 1 proc x {n_global} devs",
         "ok": ok,
         "single_process": s,
         "two_process": m,
         "abs_diffs": diffs,
+        "zero1_vs_replicated_checksum_diff": zero1_vs_replicated,
     }
 
 
@@ -351,6 +400,10 @@ def orchestrate(out_json: str) -> int:
             "fused SPMD step pmean across processes == single-process same-size mesh",
             "mesh-sharded sampler checksum == single-process run (generation path)",
             "forced loader failure RAISES under process_count>1, degrades at 1",
+            "ZeRO-1 sharded-optimizer step across processes (moments via "
+            "make_array_from_process_local_data, cross-process "
+            "psum_scatter/all_gather) == single-process zero1 run; "
+            "trajectory within tolerance of the replicated path",
         ],
     }
     with open(out_json, "w") as f:
@@ -365,7 +418,7 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=2)
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--local-devices", type=int, default=1)
-    ap.add_argument("--out", default=str(REPO / "MULTIHOST_r04.json"))
+    ap.add_argument("--out", default=str(REPO / "MULTIHOST_r05.json"))
     a = ap.parse_args()
 
     if a.single:
